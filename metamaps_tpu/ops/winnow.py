@@ -1,0 +1,320 @@
+"""Winnowed-minimizer extraction, bit-compatible with the reference.
+
+Reference semantics (src/map/include/commonFunc.hpp:91-175 ``addMinimizers``):
+
+- sequence is upper-cased; canonical k-mer hash = min(murmur(kmer),
+  murmur(revcomp(kmer))), strand FWD if forward hash is strictly smaller;
+  "symmetric" k-mers (fwd hash == rc hash) are skipped entirely — they never
+  enter the winnowing queue AND the per-position window evaluation is skipped
+  for them;
+- a monotone deque keeps, per window of ``w`` consecutive k-mer positions,
+  the minimum canonical hash; equal hashes are evicted on insertion, so among
+  equal minima the RIGHTMOST occurrence wins;
+- one record is emitted per "run": the window-minimum occurrence is saved the
+  first time it becomes the front of the deque (its ``wpos`` = first window
+  id where it is the minimum), and not re-saved while it stays the minimum.
+  The dedupe compares all fields against the last emitted record, where the
+  candidate's dummy wpos is 0 — so a record emitted at window 0 can suppress
+  later same-hash/strand occurrences (the "wpos-0 chain", reproduced here).
+
+This module provides three implementations with identical outputs:
+
+- :func:`winnow_oracle` — direct deque transcription, the parity oracle;
+- :func:`winnow_np` — vectorized numpy host implementation (windowed
+  rightmost-argmin via sliding windows + run compression);
+- :func:`winnow_dense` — JAX device implementation returning dense per-window
+  arrays plus an emission mask (compacted by :func:`winnow_jax`).
+
+Records are (hash: uint32, wpos: int32, strand: int8 {+1,-1}).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .murmur3 import hash_kmers, hash_kmers_np
+
+UINT32_MAX = np.uint32(0xFFFFFFFF)
+
+# byte LUTs ------------------------------------------------------------------
+
+_UPPER_LUT = np.arange(256, dtype=np.uint8)
+_UPPER_LUT[97:123] -= 32
+
+_RC_LUT = np.arange(256, dtype=np.uint8)
+for _a, _b in [(ord("A"), ord("T")), (ord("C"), ord("G"))]:
+    _RC_LUT[_a], _RC_LUT[_b] = _b, _a
+
+
+def upper_np(seq: np.ndarray) -> np.ndarray:
+    return _UPPER_LUT[seq]
+
+
+def revcomp_np(seq: np.ndarray) -> np.ndarray:
+    """Reverse complement of an upper-cased uint8 sequence (A<->T, C<->G,
+    other bytes unchanged — matches reference reverseComplement,
+    commonFunc.hpp:38-55)."""
+    return _RC_LUT[seq][::-1]
+
+
+# ---------------------------------------------------------------------------
+# canonical per-position hashes (shared by all implementations)
+# ---------------------------------------------------------------------------
+
+
+def canonical_hashes_np(seq: np.ndarray, k: int, alphabet_size: int = 4):
+    """Per k-mer position: (canonical hash, strand, valid) numpy arrays.
+
+    ``valid`` is False for symmetric k-mers (skipped by the reference).
+    """
+    sequ = upper_np(seq)
+    fwd = hash_kmers_np(sequ, k)
+    if alphabet_size == 4:
+        rc = revcomp_np(sequ)
+        bwd = hash_kmers_np(rc, k)[::-1]
+    else:
+        bwd = np.full_like(fwd, UINT32_MAX)
+    valid = fwd != bwd
+    canon = np.minimum(fwd, bwd)
+    strand = np.where(fwd < bwd, np.int8(1), np.int8(-1))
+    return canon, strand, valid
+
+
+# ---------------------------------------------------------------------------
+# oracle: direct deque algorithm
+# ---------------------------------------------------------------------------
+
+
+def winnow_oracle(seq: np.ndarray, k: int, w: int, alphabet_size: int = 4):
+    """Monotone-deque winnowing, the exact reference algorithm.
+
+    Returns (hashes uint32[N], wpos int32[N], strand int8[N]).
+    """
+    from collections import deque
+
+    n = len(seq) - k + 1
+    out_h, out_p, out_s = [], [], []
+    if n <= 0:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.int32), np.zeros(0, np.int8))
+    canon, strand, valid = canonical_hashes_np(seq, k, alphabet_size)
+
+    Q = deque()  # entries: [hash, wpos(dummy 0), strand, kmer_pos]
+    for i in range(n):
+        if not valid[i]:
+            continue
+        wid = i - w + 1
+        while Q and Q[0][3] <= i - w:
+            Q.popleft()
+        while Q and Q[-1][0] >= canon[i]:
+            Q.pop()
+        Q.append([int(canon[i]), 0, int(strand[i]), i])
+        if wid >= 0:
+            front = Q[0]
+            last = (out_h[-1], out_p[-1], out_s[-1]) if out_h else None
+            if last is None or (front[0], front[1], front[2]) != last:
+                front[1] = wid
+                out_h.append(front[0])
+                out_p.append(front[1])
+                out_s.append(front[2])
+    return (
+        np.array(out_h, np.uint32),
+        np.array(out_p, np.int32),
+        np.array(out_s, np.int8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vectorized numpy
+# ---------------------------------------------------------------------------
+
+
+def _run_compress(m, keys, strands, evaluated, w):
+    """Shared run-compression for the vectorized implementations (host side).
+
+    m: [NW] winning k-mer position per window; keys/strands indexed by m;
+    evaluated: [NW] mask of windows the reference actually evaluates.
+    """
+    ev_idx = np.flatnonzero(evaluated)
+    if ev_idx.size == 0:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.int32), np.zeros(0, np.int8))
+    m_ev = m[ev_idx]
+    new_run = np.ones(ev_idx.size, dtype=bool)
+    new_run[1:] = m_ev[1:] != m_ev[:-1]
+    run_starts = ev_idx[new_run]
+    run_m = m_ev[new_run]
+    h = keys[run_m].astype(np.uint32)
+    p = run_starts.astype(np.int32)
+    s = strands[run_m].astype(np.int8)
+
+    # wpos-0 chain suppression (see module docstring): if the first emitted
+    # record has wpos 0, subsequent runs whose (hash, strand) match it are
+    # suppressed until a differing run is emitted.
+    if p.size > 1 and p[0] == 0:
+        keep = np.ones(p.size, dtype=bool)
+        j = 1
+        while j < p.size and h[j] == h[0] and s[j] == s[0]:
+            keep[j] = False
+            j += 1
+        if not keep.all():
+            h, p, s = h[keep], p[keep], s[keep]
+    return h, p, s
+
+
+def winnow_np(seq: np.ndarray, k: int, w: int, alphabet_size: int = 4):
+    """Vectorized numpy winnowing; identical output to :func:`winnow_oracle`."""
+    n = len(seq) - k + 1
+    if n <= 0 or n - w + 1 <= 0:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.int32), np.zeros(0, np.int8))
+    canon, strand, valid = canonical_hashes_np(seq, k, alphabet_size)
+
+    # invalid positions can never be window minima (they never enter the
+    # deque); push them above every real hash.
+    key = canon.astype(np.uint64)
+    key[~valid] = np.uint64(1) << np.uint64(32)
+
+    nw = n - w + 1
+    win = np.lib.stride_tricks.sliding_window_view(key, w)  # [nw, w]
+    rev_arg = np.argmin(win[:, ::-1], axis=1)  # first min of reversed = rightmost
+    m = np.arange(nw) + (w - 1 - rev_arg)
+    win_min = key[m]
+
+    # windows are evaluated only when their last position is valid, and the
+    # deque must be non-empty (some valid position in the window).
+    evaluated = valid[w - 1:] & (win_min >> np.uint64(32) == 0)
+    return _run_compress(m, canon, strand, evaluated, w)
+
+
+# ---------------------------------------------------------------------------
+# JAX device implementation
+# ---------------------------------------------------------------------------
+
+
+def upper_jax(seq):
+    lut = jnp.asarray(_UPPER_LUT)
+    return lut[seq]
+
+
+def revcomp_jax(seq):
+    lut = jnp.asarray(_RC_LUT)
+    return lut[seq][::-1]
+
+
+def _lt(a, b):
+    """Lexicographic (invalid, hash) strict less-than: a valid position beats
+    any invalid one regardless of hash (invalid k-mers never enter the
+    reference's deque), then smaller hash wins. a/b = (hash, invalid)."""
+    return (a[1] < b[1]) | ((a[1] == b[1]) & (a[0] < b[0]))
+
+
+def _leq(a, b):
+    return (a[1] < b[1]) | ((a[1] == b[1]) & (a[0] <= b[0]))
+
+
+def _sel(cond, a, b):
+    return tuple(jnp.where(cond, x, y) for x, y in zip(a, b))
+
+
+def _rightmost_windowed_argmin(key, inv, pos, w: int):
+    """Sliding-window min over windows of size w with rightmost tie-break.
+
+    key: [n] uint32 canonical hashes; inv: [n] uint32 1 where the position is
+    invalid (symmetric k-mer — must never win against a valid one); pos: [n]
+    int32. Returns (min_key, min_inv, min_pos) per window, shape [n-w+1].
+    Two-pass block prefix/suffix scan (O(n)), 32-bit lanes only.
+    """
+    n = key.shape[0]
+    nb = -(-n // w)
+    pad = nb * w - n
+    keyp = jnp.pad(key, (0, pad), constant_values=UINT32_MAX)
+    invp = jnp.pad(inv, (0, pad), constant_values=1)
+    posp = jnp.pad(pos, (0, pad), constant_values=0)
+    kb, ib, pb = (x.reshape(nb, w) for x in (keyp, invp, posp))
+
+    def combine_prefix(a, b):
+        # scan left-to-right; b is later in sequence and wins ties
+        return _sel(_leq((b[0], b[1]), (a[0], a[1])), b, a)
+
+    def combine_flipped(a, b):
+        # scan over the flipped block: a aggregates original-later elements,
+        # which must win ties; b replaces only when strictly smaller
+        return _sel(_lt((b[0], b[1]), (a[0], a[1])), b, a)
+
+    pre = jax.lax.associative_scan(combine_prefix, (kb, ib, pb), axis=1)
+    suf_f = jax.lax.associative_scan(
+        combine_flipped, (kb[:, ::-1], ib[:, ::-1], pb[:, ::-1]), axis=1
+    )
+    suf = tuple(x[:, ::-1] for x in suf_f)
+    pre = tuple(x.reshape(-1) for x in pre)
+    suf = tuple(x.reshape(-1) for x in suf)
+
+    nw = n - w + 1
+    j = jnp.arange(nw)
+    s = tuple(x[:nw] for x in suf)
+    e = tuple(x[j + w - 1] for x in pre)
+    # prefix part covers the later positions → wins ties
+    return _sel(_leq((e[0], e[1]), (s[0], s[1])), e, s)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def winnow_dense(seq, k: int, w: int, alphabet_size: int = 4):
+    """Device winnowing over a (possibly padded) uint8 sequence [L].
+
+    Returns dense per-window arrays of length L-k+1-w+1:
+    (emit_mask bool, hash uint32, wpos int32, strand int8, m int32)
+    where records = compact(emit_mask). The wpos-0 chain suppression is left
+    to the host-side compaction (:func:`winnow_jax`) — it affects at most the
+    first few records.
+    """
+    sequ = upper_jax(seq)
+    fwd = hash_kmers(sequ, k)
+    if alphabet_size == 4:
+        bwd = hash_kmers(revcomp_jax(sequ), k)[::-1]
+    else:
+        bwd = jnp.full_like(fwd, UINT32_MAX)
+    valid = fwd != bwd
+    canon = jnp.minimum(fwd, bwd)
+    strand = jnp.where(fwd < bwd, jnp.int8(1), jnp.int8(-1))
+
+    n = fwd.shape[0]
+    inv = (~valid).astype(jnp.uint32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    _, min_inv, m = _rightmost_windowed_argmin(canon, inv, pos, w)
+    nw = n - w + 1
+    evaluated = valid[w - 1:] & (min_inv == 0)
+
+    # previous evaluated window index for each window (vectorized scan-free):
+    j = jnp.arange(nw, dtype=jnp.int32)
+    marked = jnp.where(evaluated, j, jnp.int32(-1))
+    prev_incl = jax.lax.associative_scan(jnp.maximum, marked)
+    prev_excl = jnp.concatenate([jnp.array([-1], jnp.int32), prev_incl[:-1]])
+    prev_m = jnp.where(prev_excl >= 0, m[jnp.maximum(prev_excl, 0)], jnp.int32(-1))
+    emit = evaluated & ((prev_excl < 0) | (m != prev_m))
+
+    return emit, canon[m].astype(jnp.uint32), j, strand[m], m
+
+
+def winnow_jax(seq, k: int, w: int, alphabet_size: int = 4):
+    """Host wrapper over :func:`winnow_dense`: compacts records and applies
+    the wpos-0 chain suppression. Output identical to :func:`winnow_oracle`."""
+    n = len(seq) - k + 1
+    if n <= 0 or n - w + 1 <= 0:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.int32), np.zeros(0, np.int8))
+    emit, h, p, s, _ = winnow_dense(jnp.asarray(seq), k, w, alphabet_size)
+    emit = np.asarray(emit)
+    idx = np.flatnonzero(emit)
+    h = np.asarray(h)[idx].astype(np.uint32)
+    p = np.asarray(p)[idx].astype(np.int32)
+    s = np.asarray(s)[idx].astype(np.int8)
+    if p.size > 1 and p[0] == 0:
+        keep = np.ones(p.size, dtype=bool)
+        jj = 1
+        while jj < p.size and h[jj] == h[0] and s[jj] == s[0]:
+            keep[jj] = False
+            jj += 1
+        if not keep.all():
+            h, p, s = h[keep], p[keep], s[keep]
+    return h, p, s
