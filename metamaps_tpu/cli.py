@@ -1,0 +1,134 @@
+"""Command-line interface, mirroring the reference binary's subcommands
+(src/map/mash_map.cpp:257-343):
+
+  metamaps_tpu index           build a serialized minimizer index
+  metamaps_tpu mapDirectly     index + map in one pass (memory-bounded)
+  metamaps_tpu mapAgainstIndex map reads against a stored index
+  metamaps_tpu classify        EM composition estimation + per-read taxa
+  metamaps_tpu classifyU       EM-U novel-species analysis
+
+plus framework-native db/simulation tools under ``metamaps_tpu.db`` and
+``metamaps_tpu.sim``. Defaults follow parseCmdArgs.hpp:255-434.
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+from .io.fasta import total_file_size
+from .params import Parameters
+
+
+def _add_sketch_args(p: argparse.ArgumentParser):
+    p.add_argument("--reference", required=True, help="reference FASTA (DB.fa)")
+    p.add_argument("--kmer", type=int, default=None, help="k-mer size (default 16)")
+    p.add_argument("--pval", type=float, default=None, help="p-value cutoff (default 1e-3)")
+    p.add_argument("--minReadLen", type=int, default=None, help="minimum read length (default 1000)")
+    p.add_argument("--perc_identity", "--pi", dest="pi", type=float, default=None,
+                   help="identity cutoff %% (default 80)")
+    p.add_argument("--window", type=int, default=None, help="window size (default: from p-value)")
+    p.add_argument("--maxmemory", type=int, default=None, help="memory budget in GB")
+
+
+def _add_query_args(p: argparse.ArgumentParser):
+    p.add_argument("--query", required=True, help="reads FASTA/FASTQ (comma-separated list allowed)")
+    p.add_argument("--output", required=True, help="output prefix (comma-separated list allowed)")
+    p.add_argument("--all", action="store_true", help="report all mappings, not just the top band")
+    p.add_argument("--threads", "-t", type=int, default=1)
+
+
+def _sketch_params(args) -> Parameters:
+    p = Parameters()
+    p.ref_sequences = [args.reference]
+    p.reference_size = total_file_size(p.ref_sequences)
+    p.alphabet_size = 4
+    p.maximum_memory = int(math.pow(1024, 3) * args.maxmemory) if args.maxmemory else 0
+    p.kmer_size = args.kmer if args.kmer is not None else 16
+    p.p_value = args.pval if args.pval is not None else 1e-3
+    p.min_read_length = args.minReadLen if args.minReadLen is not None else 1000
+    p.percentage_identity = args.pi if args.pi is not None else 80.0
+    if args.window is not None:
+        p.window_size = args.window
+        p.derive_window_size(window_size_given=True)
+    else:
+        p.derive_window_size(window_size_given=False)
+    return p
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="metamaps_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_idx = sub.add_parser("index", help="build index")
+    _add_sketch_args(p_idx)
+    p_idx.add_argument("--index", required=True, help="index output prefix")
+
+    p_map = sub.add_parser("mapDirectly", help="map reads (index built on the fly)")
+    _add_sketch_args(p_map)
+    _add_query_args(p_map)
+
+    p_mai = sub.add_parser("mapAgainstIndex", help="map reads against a stored index")
+    p_mai.add_argument("--index", required=True)
+    _add_query_args(p_mai)
+
+    for name in ("classify", "classifyU"):
+        p_c = sub.add_parser(name)
+        p_c.add_argument("--DB", required=True, help="database directory")
+        p_c.add_argument("--mappings", required=True, help="mappings file from mapDirectly/mapAgainstIndex")
+        p_c.add_argument("--minreads", type=int, default=10000)
+        p_c.add_argument("--threads", "-t", type=int, default=1)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "index":
+        from .engine.index import create_index
+
+        params = _sketch_params(args)
+        params.index = args.index
+        create_index(params, args.index, params.maximum_memory)
+
+    elif args.command == "mapDirectly":
+        from .engine.mapwrap import map_directly
+
+        params = _sketch_params(args)
+        params.query_sequences = [args.query]
+        params.out_file_name = args.output
+        params.report_all = bool(args.all)
+        params.threads = args.threads
+        map_directly(params, params.maximum_memory)
+
+    elif args.command == "mapAgainstIndex":
+        from .engine.mapwrap import map_against_index
+
+        params = Parameters()
+        params.query_sequences = [args.query]
+        params.out_file_name = args.output
+        params.report_all = bool(args.all)
+        params.threads = args.threads
+        map_against_index(params, args.index)
+
+    elif args.command == "classify":
+        from .engine.em import do_em
+
+        params = Parameters()
+        params.db = args.DB
+        params.mappings_for_classification = args.mappings
+        params.minimum_reads_for_u = args.minreads
+        params.threads = args.threads
+        do_em(params, args.mappings)
+
+    elif args.command == "classifyU":
+        from .engine.u import do_u
+
+        params = Parameters()
+        params.db = args.DB
+        params.mappings_for_classification = args.mappings
+        params.minimum_reads_for_u = args.minreads
+        do_u(params, args.mappings)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

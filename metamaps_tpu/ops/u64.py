@@ -10,12 +10,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 _U32 = jnp.uint32
-_MASK16 = jnp.uint32(0xFFFF)
+_MASK16 = 0xFFFF  # plain ints: no device arrays at import time
 
 
 def const64(value: int):
-    """A python int -> (hi, lo) uint32 scalar pair."""
-    return jnp.uint32((value >> 32) & 0xFFFFFFFF), jnp.uint32(value & 0xFFFFFFFF)
+    """A python int -> (hi, lo) numpy uint32 scalar pair (no backend use)."""
+    import numpy as _np
+
+    return _np.uint32((value >> 32) & 0xFFFFFFFF), _np.uint32(value & 0xFFFFFFFF)
 
 
 def xor64(a, b):

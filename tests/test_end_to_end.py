@@ -1,0 +1,152 @@
+"""End-to-end slice: mapDirectly + classify through the CLI on a mini DB."""
+import os
+
+import numpy as np
+import pytest
+
+from metamaps_tpu.cli import main as cli_main
+from metamaps_tpu.io.mappings import parse_mapping_line, read_meta
+
+from util_db import make_mini_db, write_reads_fastq
+from util_sim import sample_reads, random_genome
+
+
+@pytest.fixture(scope="module")
+def pipeline(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    db = str(root / "DB")
+    rng = np.random.default_rng(42)
+    genomes, contig_names, species_ids = make_mini_db(db, rng)
+
+    reads = sample_reads(rng, genomes, 40, min_len=2500, max_len=6000, sub=0.06)
+    # too-short reads and an unmappable read
+    reads.append((random_genome(rng, 500), -1, 0, 1))
+    reads.append((random_genome(rng, 300), -1, 0, 1))
+    reads.append((random_genome(rng, 4000), -1, 0, 1))  # alien, long enough
+    fq = str(root / "reads.fastq")
+    write_reads_fastq(fq, reads)
+
+    out = str(root / "out.mappings")
+    rc = cli_main([
+        "mapDirectly", "--reference", os.path.join(db, "DB.fa"),
+        "--query", fq, "--output", out, "--all", "--minReadLen", "2000",
+    ])
+    assert rc == 0
+    rc = cli_main(["classify", "--DB", db, "--mappings", out])
+    assert rc == 0
+    return root, db, out, reads, species_ids
+
+
+def test_meta_counts(pipeline):
+    root, db, out, reads, species_ids = pipeline
+    meta = read_meta(out)
+    assert meta["TotalReads"] == len(reads)
+    assert meta["ReadsTooShort"] == 2
+    assert meta["TotalReads"] == (
+        meta["ReadsTooShort"] + meta["ReadsMapped"] + meta["ReadsNotMapped"]
+    )
+    assert meta["ReadsMapped"] >= 38  # alien may or may not map
+
+
+def test_mapping_lines_wellformed(pipeline):
+    root, db, out, reads, species_ids = pipeline
+    with open(out) as f:
+        lines = [l.rstrip("\n") for l in f if l.strip()]
+    assert lines
+    by_read = {}
+    for l in lines:
+        ml = parse_mapping_line(l)
+        assert ml.mapq is not None
+        assert 0.0 <= ml.mapq <= 1.0
+        assert 0.0 <= ml.identity <= 100.0
+        by_read.setdefault(ml.read_id, []).append(ml)
+    for rid, mls in by_read.items():
+        s = sum(m.mapq for m in mls)
+        assert abs(s - 1.0) < 1e-3, f"mapQ sum for {rid} = {s}"
+
+
+def test_reads2taxon_accuracy(pipeline):
+    root, db, out, reads, species_ids = pipeline
+    truth = {f"read{i}": (species_ids[gi] if gi >= 0 else None)
+             for i, (seq, gi, pos, strand) in enumerate(reads)}
+    assigned = {}
+    with open(out + ".EM.reads2Taxon") as f:
+        for line in f:
+            rid, tax = line.rstrip("\n").split("\t")
+            assigned[rid] = tax
+    n_correct = 0
+    n_eval = 0
+    for rid, tax in assigned.items():
+        if truth.get(rid) is not None:
+            n_eval += 1
+            if tax == str(truth[rid]):
+                n_correct += 1
+    assert n_eval >= 38
+    assert n_correct / n_eval >= 0.95
+
+
+def test_wimp_structure(pipeline):
+    root, db, out, reads, species_ids = pipeline
+    rows = {}
+    with open(out + ".EM.WIMP") as f:
+        header = f.readline().rstrip("\n").split("\t")
+        assert header == ["AnalysisLevel", "taxonID", "Name", "Absolute",
+                          "EMFrequency", "PotFrequency"]
+        for line in f:
+            level, tid, name, absolute, emf, potf = line.rstrip("\n").split("\t")
+            rows.setdefault(level, []).append((tid, name, int(absolute),
+                                               float(emf), float(potf)))
+    expected_levels = {"definedGenomes", "species", "genus", "family", "order",
+                       "phylum", "superkingdom"}
+    assert set(rows) == expected_levels
+    for level, entries in rows.items():
+        em_sum = sum(e[3] for e in entries if e[0] != "-3")
+        pot_sum = sum(e[4] for e in entries if e[0] != "-3")
+        assert abs(em_sum - 1.0) < 1e-3, level
+        assert abs(pot_sum - 1.0) < 1e-3, level
+
+
+def test_em_recalibrated_file(pipeline):
+    root, db, out, reads, species_ids = pipeline
+    with open(out + ".EM") as f:
+        lines = [l.rstrip("\n") for l in f if l.strip()]
+    per_read = {}
+    for l in lines:
+        fld = l.split(" ")
+        assert len(fld) == 14
+        per_read.setdefault(fld[0], 0.0)
+        per_read[fld[0]] += float(fld[13])
+    for rid, s in per_read.items():
+        assert abs(s - 1.0) < 2e-3
+
+
+def test_contig_coverage_and_evidence(pipeline):
+    root, db, out, reads, species_ids = pipeline
+    with open(out + ".EM.contigCoverage") as f:
+        header = f.readline().rstrip("\n").split("\t")
+        assert header[:3] == ["taxonID", "equalCoverageUnitLabel", "contigID"]
+        n = sum(1 for _ in f)
+    assert n > 100  # all windows of covered contigs
+    with open(out + ".EM.evidenceUnknownSpecies") as f:
+        header = f.readline().rstrip("\n").split("\t")
+        assert header[0] == "taxonID"
+        rows = [l.rstrip("\n").split("\t") for l in f if l.strip()]
+    assert rows
+    for r in rows:
+        assert r[1] != ""  # species column
+        # default minreads=10000 -> identity test columns are NA
+        assert r[4] == "NA"
+
+
+def test_map_against_index_same_output(pipeline, tmp_path):
+    root, db, out, reads, species_ids = pipeline
+    idx = str(tmp_path / "idx")
+    rc = cli_main(["index", "--reference", os.path.join(db, "DB.fa"),
+                   "--index", idx, "--minReadLen", "2000"])
+    assert rc == 0
+    out2 = str(tmp_path / "out2.mappings")
+    rc = cli_main(["mapAgainstIndex", "--index", idx, "--query",
+                   str(root / "reads.fastq"), "--output", out2, "--all"])
+    assert rc == 0
+    with open(out) as f1, open(out2) as f2:
+        assert f1.read() == f2.read()
