@@ -1,0 +1,186 @@
+"""Batched device mapping engine.
+
+Drives the kernels in metamaps_tpu.ops.batch_map over length-bucketed read
+batches; acceptance statistics (CI bounds) and strand votes run on host
+(cached scipy / tiny per-accepted-candidate work). Reads that overflow the
+static kernel shapes fall back to the serial oracle — outputs are identical
+to :mod:`metamaps_tpu.engine.mapper_oracle` either way.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .. import stats
+from ..ops.batch_map import DeviceShard, MapKernelConfig, batch_l1, batch_l2_slab, batch_sketch
+from . import mapper_oracle
+from .mapper_oracle import ReadMapping
+
+
+@lru_cache(maxsize=None)
+def _minhits_table(s_max: int, k: int, pi: float) -> np.ndarray:
+    t = np.zeros(s_max + 1, np.int32)
+    for s in range(1, s_max + 1):
+        t[s] = stats.estimate_minimum_hits_relaxed(s, k, pi)
+    return t
+
+
+@lru_cache(maxsize=None)
+def _acceptance(shared: int, s: int, k: int, pi: float) -> Tuple[float, float, bool]:
+    """(nucIdentity, upper bound, accepted) for a (shared, sketch) pair —
+    float32 semantics as in doL2Mapping (computeMap.hpp:404-415)."""
+    mash = stats.j2md(np.float32(1.0) * shared / s, k)
+    mash_lb = stats.md_lower_bound(mash, s, k, 0.9)
+    nuc = float(np.float32(100 * (1 - np.float32(mash))))
+    ub = float(np.float32(100 * (1 - np.float32(mash_lb))))
+    return nuc, ub, ub >= pi
+
+
+class JaxMapperEngine:
+    """Maps batches of reads against one shard on the default JAX device."""
+
+    def __init__(self, shard, params, read_len_buckets: Sequence[int] = (2048, 4096, 8192, 16384, 32768, 65536)):
+        self.shard = shard
+        self.params = params
+        self.device_shard = DeviceShard.from_host(shard)
+        self.buckets = tuple(sorted(read_len_buckets))
+        self._configs: Dict[int, MapKernelConfig] = {}
+
+    def _config_for(self, bucket: int) -> MapKernelConfig:
+        if bucket not in self._configs:
+            self._configs[bucket] = MapKernelConfig.for_read_len(
+                bucket, self.params.kmer_size, self.params.window_size,
+                self.params.alphabet_size,
+            )
+        return self._configs[bucket]
+
+    def _bucket_of(self, length: int) -> int:
+        for b in self.buckets:
+            if length <= b:
+                return b
+        return -1  # longer than the largest bucket -> oracle
+
+    def map_reads(self, seqs: List[np.ndarray]) -> List[List[ReadMapping]]:
+        """Map a list of reads (uint8 arrays); returns per-read mapping lists
+        in input order (unfiltered — caller applies report_filter)."""
+        results: List[List[ReadMapping]] = [None] * len(seqs)
+        by_bucket: Dict[int, List[int]] = {}
+        for i, s in enumerate(seqs):
+            b = self._bucket_of(len(s))
+            if b < 0:
+                results[i] = mapper_oracle.map_read(self.shard, self.params, s)
+            else:
+                by_bucket.setdefault(b, []).append(i)
+
+        for bucket, idxs in by_bucket.items():
+            cfg = self._config_for(bucket)
+            for chunk_start in range(0, len(idxs), 64):
+                chunk = idxs[chunk_start : chunk_start + 64]
+                self._map_bucket(cfg, bucket, chunk, seqs, results)
+        return results
+
+    def _map_bucket(self, cfg, bucket, idxs, seqs, results):
+        import jax.numpy as jnp
+
+        B = len(idxs)
+        reads = np.full((B, bucket), ord("A"), np.uint8)
+        lens = np.zeros(B, np.int32)
+        for r, i in enumerate(idxs):
+            reads[r, : len(seqs[i])] = seqs[i]
+            lens[r] = len(seqs[i])
+
+        q_hash, q_strand, s_size, s_ovf = batch_sketch(
+            cfg, jnp.asarray(reads), jnp.asarray(lens)
+        )
+        minhits = _minhits_table(
+            cfg.sketch_max, self.params.kmer_size,
+            float(self.params.percentage_identity),
+        )
+        c_seq_d, c_start_d, c_end_d, n_c, l1_ovf = batch_l1(
+            cfg, self.device_shard, q_hash, s_size, jnp.asarray(lens),
+            jnp.asarray(minhits),
+        )
+
+        q_hash = np.asarray(q_hash)
+        q_strand = np.asarray(q_strand)
+        s_size = np.asarray(s_size)
+        s_ovf = np.asarray(s_ovf)
+        c_seq = np.asarray(c_seq_d)
+        c_start = np.asarray(c_start_d)
+        c_end = np.asarray(c_end_d)
+        n_c = np.asarray(n_c)
+        l1_ovf = np.asarray(l1_ovf)
+
+        # compact real candidates into fixed-size slabs for stage C
+        rows, cols = np.nonzero(c_seq >= 0)
+        N = rows.size
+        slab = cfg.l2_slab
+        n_pad = (N + slab - 1) // slab * slab if N else 0
+        shared = np.zeros_like(c_seq)
+        mean_pos = np.zeros_like(c_seq)
+        opt_beg = np.zeros_like(c_seq)
+        opt_end = np.zeros_like(c_seq)
+        l2_ovf = np.zeros(c_seq.shape, bool)
+        for s0 in range(0, n_pad, slab):
+            sel = np.arange(s0, min(s0 + slab, N))
+            pad = slab - sel.size
+            r = np.concatenate([rows[sel], np.zeros(pad, np.int64)])
+            c = np.concatenate([cols[sel], np.zeros(pad, np.int64)])
+            cs = np.concatenate([c_seq[rows[sel], cols[sel]], -np.ones(pad, c_seq.dtype)])
+            sh, mp, ob, oe, ov = batch_l2_slab(
+                cfg, self.device_shard,
+                jnp.asarray(q_hash[r]), jnp.asarray(s_size[r]),
+                jnp.asarray(lens[r]), jnp.asarray(cs),
+                jnp.asarray(c_start[r, c]), jnp.asarray(c_end[r, c]),
+            )
+            sh, mp, ob, oe, ov = (np.asarray(x) for x in (sh, mp, ob, oe, ov))
+            k_real = sel.size
+            shared[rows[sel], cols[sel]] = sh[:k_real]
+            mean_pos[rows[sel], cols[sel]] = mp[:k_real]
+            opt_beg[rows[sel], cols[sel]] = ob[:k_real]
+            opt_end[rows[sel], cols[sel]] = oe[:k_real]
+            l2_ovf[rows[sel], cols[sel]] = ov[:k_real]
+
+        k = self.params.kmer_size
+        pi = float(self.params.percentage_identity)
+        for r, i in enumerate(idxs):
+            if s_ovf[r] or l1_ovf[r] or l2_ovf[r].any():
+                results[i] = mapper_oracle.map_read(self.shard, self.params, seqs[i])
+                continue
+            s = int(s_size[r])
+            if s == 0:
+                results[i] = []
+                continue
+            out: List[ReadMapping] = []
+            qs = q_hash[r, :s]
+            qst = q_strand[r, :s]
+            for c in range(int(n_c[r])):
+                sh = int(shared[r, c])
+                nuc, ub, ok = _acceptance(sh, s, k, pi)
+                if not ok:
+                    continue
+                if sh > 0:
+                    votes, _ = mapper_oracle._strand_votes(
+                        self.shard, qs, qst, s, int(opt_beg[r, c]), int(opt_end[r, c])
+                    )
+                    strand = 1 if votes > 0 else -1
+                    pos = int(mean_pos[r, c])
+                else:
+                    strand = -1
+                    pos = 0
+                out.append(
+                    ReadMapping(
+                        query_len=int(lens[r]),
+                        ref_start=pos,
+                        ref_end=pos + int(lens[r]) - 1,
+                        ref_seqid=int(c_seq[r, c]),
+                        nuc_identity=nuc,
+                        nuc_identity_ub=ub,
+                        sketch_size=s,
+                        conserved=sh,
+                        strand=strand,
+                    )
+                )
+            results[i] = out

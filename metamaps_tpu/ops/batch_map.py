@@ -1,0 +1,431 @@
+"""Batched device mapping kernels: sketch -> L1 candidates -> L2 scoring.
+
+TPU-first reformulation of the reference's per-read serial algorithm
+(src/map/include/computeMap.hpp), operating on fixed-shape padded batches:
+
+Stage A (:func:`batch_sketch`): dense winnowing per read (vmap over the
+batch) and unique-hash sketch extraction by sort + neighbor-compare.
+
+Stage B (:func:`batch_l1`): vectorized binary search of all sketch hashes in
+the hash-sorted shard arrays, CSR-style hit expansion to a fixed budget,
+two-key sort, run-of-minimumHits candidate detection and overlap merging —
+exactly computeL1CandidateRegions (computeMap.hpp:346-386) in data-parallel
+form.
+
+Stage C (:func:`batch_l2`): the sliding ordered-map (slidingMap.hpp) is
+re-derived as an *event-interval* algorithm. At iterator state p the map
+holds the contiguous occurrence range [max occurrence <= p, first occurrence
+>= p+L); hence each occurrence x is "active" for p in [x-L+1, next_occ-1],
+and hash-presence is the union of its occurrences' intervals (the ordered
+map's wposR-revision/delete-NOOP semantics collapse to exactly this union).
+The shared sketch count at p is
+
+    shared(p) = #{ j : q_j present(p)  and  j + C(p, q_j) < s }
+
+with C = number of distinct ref-only hashes < q_j present at p — i.e. the
+bottom-s rule expressed through union ranks. Presence (M) and rank shift (C)
+for ALL iterator stop positions are computed at once as two int8
+matmuls over an event-activation matrix (MXU work), and the optimum
+reproduces the reference's first/last-maximum mean-position and tie rules.
+
+All shapes are static (`MapKernelConfig`); overflow conditions are flagged
+for host fallback to the serial oracle.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .winnow import winnow_dense
+
+I32_MAX = np.int32(2**31 - 1)
+U32_MAX = np.uint32(0xFFFFFFFF)
+
+
+@dataclass(frozen=True)
+class MapKernelConfig:
+    kmer_size: int
+    window_size: int
+    read_len_max: int  # padded read length
+    sketch_max: int  # max unique sketch hashes per read
+    hits_max: int  # max L1 hits per read
+    cands_max: int  # max candidate regions per read
+    range_max: int  # max minimizer occurrences per L2 candidate range
+    alphabet_size: int = 4
+    l2_chunk: int = 8  # candidates scored concurrently in stage C
+    l2_slab: int = 32  # fixed candidate-slab size (compiled shape)
+    l2_matmul: bool = False  # True: int8 MXU matmuls; False: scatter+cumsum
+
+    @classmethod
+    def for_read_len(cls, read_len_max: int, k: int, w: int, alphabet_size: int = 4):
+        """Shape heuristics from the winnowing density 2/(w+1)."""
+        n_min = int(2.5 * read_len_max / (w + 1)) + 64
+        return cls(
+            kmer_size=k,
+            window_size=w,
+            read_len_max=read_len_max,
+            sketch_max=_round_up(n_min, 128),
+            hits_max=_round_up(max(4 * n_min, 2048), 128),
+            cands_max=16,
+            range_max=_round_up(2 * n_min + 128, 128),
+            alphabet_size=alphabet_size,
+        )
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "hash_sorted",
+        "seqid_byhash",
+        "wpos_byhash",
+        "wpos",
+        "hash_pos",
+        "strand_pos",
+        "contig_offsets",
+    ],
+    meta_fields=["freq_threshold"],
+)
+@dataclass
+class DeviceShard:
+    """Shard arrays resident on device (HBM); pytree with the frequency
+    threshold as static metadata."""
+
+    hash_sorted: jnp.ndarray  # [M] uint32
+    seqid_byhash: jnp.ndarray  # [M] int32
+    wpos_byhash: jnp.ndarray  # [M] int32
+    wpos: jnp.ndarray  # [M] int32 (position order)
+    hash_pos: jnp.ndarray  # [M] uint32 (position order)
+    strand_pos: jnp.ndarray  # [M] int8 (position order)
+    contig_offsets: jnp.ndarray  # [n_contigs+1] int32
+    freq_threshold: int
+
+    @classmethod
+    def from_host(cls, shard):
+        return cls(
+            hash_sorted=jnp.asarray(shard.hash_sorted),
+            seqid_byhash=jnp.asarray(shard.seqid_byhash),
+            wpos_byhash=jnp.asarray(shard.wpos_byhash),
+            wpos=jnp.asarray(shard.wpos),
+            hash_pos=jnp.asarray(shard.hash_pos_order),
+            strand_pos=jnp.asarray(shard.strand),
+            contig_offsets=jnp.asarray(shard.contig_offsets.astype(np.int32)),
+            freq_threshold=int(shard.freq_threshold),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Stage A: batched sketch
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batch_sketch(cfg: MapKernelConfig, reads, read_lens):
+    """reads [B, Lmax] uint8 (right-padded), read_lens [B] int32.
+
+    Returns q_hash [B, S] (sorted unique, padded U32_MAX), q_strand [B, S],
+    sketch_size [B], sketch_overflow [B] bool.
+    """
+    k, w = cfg.kmer_size, cfg.window_size
+    S = cfg.sketch_max
+
+    def one(seq, rlen):
+        n_kmers_valid = rlen - k + 1
+        emit, h, p, st, m = winnow_dense(seq, k, w, cfg.alphabet_size, n_kmers_valid)
+        key = jnp.where(emit, h, U32_MAX)
+        # sort by (hash, window pos): first occurrence of each hash leads
+        order = jnp.argsort(key.astype(jnp.uint32), stable=True)
+        hs = key[order]
+        sts = st[order]
+        uniq = jnp.concatenate([jnp.array([True]), hs[1:] != hs[:-1]])
+        uniq = uniq & (hs != U32_MAX)
+        n_unique = uniq.sum()
+        # compact unique entries to the front (stable sort by ~uniq)
+        cidx = jnp.argsort(jnp.where(uniq, 0, 1).astype(jnp.int32), stable=True)
+        hs_c = jnp.where(uniq[cidx], hs[cidx], U32_MAX)[:S]
+        st_c = sts[cidx][:S]
+        overflow = n_unique > S
+        return hs_c, st_c, jnp.minimum(n_unique, S).astype(jnp.int32), overflow
+
+    return jax.vmap(one)(reads, read_lens)
+
+
+# ---------------------------------------------------------------------------
+# Stage B: batched L1
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
+             read_lens, minhits_table):
+    """L1 candidate regions per read.
+
+    minhits_table [S+1] int32: estimateMinimumHitsRelaxed per sketch size
+    (host-precomputed, scipy).
+
+    Returns (cand_seq, cand_start, cand_end) [B, C] int32 (padded -1),
+    n_cands [B], overflow [B] bool.
+    """
+    H, C = cfg.hits_max, cfg.cands_max
+
+    def one(qh, s, rlen):
+        start = jnp.searchsorted(shard.hash_sorted, qh, side="left")
+        end = jnp.searchsorted(shard.hash_sorted, qh, side="right")
+        count = (end - start).astype(jnp.int32)
+        valid_q = qh != U32_MAX
+        count = jnp.where(valid_q & (count < shard.freq_threshold), count, 0)
+
+        offsets = jnp.cumsum(count)
+        total = offsets[-1]
+        overflow = total > H
+        t = jnp.arange(H, dtype=jnp.int32)
+        j = jnp.searchsorted(offsets, t, side="right")
+        j_c = jnp.minimum(j, count.shape[0] - 1)
+        prev_off = jnp.where(j_c > 0, offsets[jnp.maximum(j_c - 1, 0)], 0)
+        idx = start[j_c].astype(jnp.int32) + (t - prev_off)
+        hit_valid = t < total
+        idx = jnp.where(hit_valid, idx, 0)
+        h_seq = jnp.where(hit_valid, shard.seqid_byhash[idx], I32_MAX)
+        h_pos = jnp.where(hit_valid, shard.wpos_byhash[idx], I32_MAX)
+
+        # sort hits by (seqid, wpos)
+        h_seq, h_pos = jax.lax.sort((h_seq, h_pos), num_keys=2)
+
+        m = jnp.maximum(minhits_table[s], 1)
+        i = jnp.arange(H, dtype=jnp.int32)
+        j2 = jnp.minimum(i + m - 1, H - 1)
+        seq_i, pos_i = h_seq, h_pos
+        seq_j = h_seq[j2]
+        pos_j = h_pos[j2]
+        in_range = (i + m - 1) < H
+        cand = (
+            in_range
+            & (seq_i != I32_MAX)
+            & (seq_j == seq_i)
+            & ((pos_j - pos_i) < rlen)
+        )
+        c_start = jnp.maximum(0, pos_j - rlen + 1)
+        c_end = pos_i
+
+        # overlap merge: nearest previous candidate via running max index
+        marked = jnp.where(cand, i, -1)
+        prev_incl = jax.lax.associative_scan(jnp.maximum, marked)
+        prev_excl = jnp.concatenate([jnp.array([-1], jnp.int32), prev_incl[:-1]])
+        pe = jnp.maximum(prev_excl, 0)
+        has_prev = prev_excl >= 0
+        same_seq = seq_i[pe] == seq_i
+        # previous region's end = previous member's c_end (ends nondecreasing)
+        prev_end = c_end[pe]
+        merged_into_prev = cand & has_prev & same_seq & (prev_end >= c_start)
+        new_region = cand & ~merged_into_prev
+
+        rid = jnp.cumsum(new_region.astype(jnp.int32)) - 1
+        rid_m = jnp.where(cand, rid, C)  # members only; non-members -> bucket C
+        n_regions = jnp.where(cand.any(), rid[-1] + 1, 0)
+        region_overflow = n_regions > C
+        rid_c = jnp.minimum(rid_m, C)
+
+        r_seq = jax.ops.segment_max(
+            jnp.where(cand, seq_i, -1), rid_c, num_segments=C + 1
+        )[:C]
+        r_start = jax.ops.segment_min(
+            jnp.where(cand, c_start, I32_MAX), rid_c, num_segments=C + 1
+        )[:C]
+        r_end = jax.ops.segment_max(
+            jnp.where(cand, c_end, -1), rid_c, num_segments=C + 1
+        )[:C]
+        n_r = jnp.minimum(n_regions, C).astype(jnp.int32)
+        valid_r = jnp.arange(C) < n_r
+        r_seq = jnp.where(valid_r, r_seq, -1)
+        return r_seq, r_start, r_end, n_r, overflow | region_overflow
+
+    return jax.vmap(one)(q_hash, sketch_size, read_lens)
+
+
+# ---------------------------------------------------------------------------
+# Stage C: batched L2 (event-interval kernel)
+# ---------------------------------------------------------------------------
+
+
+def _bisect_range(arr, lo, hi, val, side_right=False):
+    """Binary search for val in sorted arr[lo:hi) with traced bounds."""
+    def body(_, state):
+        lo_, hi_ = state
+        mid = (lo_ + hi_) // 2
+        v = arr[jnp.minimum(mid, arr.shape[0] - 1)]
+        go_right = jnp.where(side_right, v <= val, v < val)
+        lo2 = jnp.where((lo_ < hi_) & go_right, mid + 1, lo_)
+        hi2 = jnp.where((lo_ < hi_) & ~go_right, mid, hi_)
+        return lo2, hi2
+
+    n_iter = int(np.ceil(np.log2(max(2, int(arr.shape[0]) + 1)))) + 1
+    lo_f, _ = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    return lo_f
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
+                  read_lens, cand_seq, cand_start, cand_end):
+    """L2 scoring for a fixed-size slab of flattened (read, candidate) pairs.
+
+    Inputs: q_hash [N,S], sketch_size [N], read_lens [N], cand_* [N]
+    (seq -1 for padding). The caller compacts real candidates into slabs of
+    cfg.l2_slab so compiled shapes never vary.
+
+    Returns per candidate: shared [N] int32, mean_pos [N] int32,
+    opt_beg [N] int32, opt_end [N] int32 (absolute occurrence indices of the
+    first maximal state's map range), overflow [N] bool.
+    """
+    k, w = cfg.kmer_size, cfg.window_size
+    R = cfg.range_max
+    S = cfg.sketch_max
+    P = 2 * R
+    E = 2 * R
+
+    def one(qh, s, rlen, c_seq, c_start, c_end):
+        valid_cand = c_seq >= 0
+        c_seq_c = jnp.maximum(c_seq, 0)
+        lo = shard.contig_offsets[c_seq_c]
+        hi = shard.contig_offsets[c_seq_c + 1]
+        L = rlen - (w - 1) - (k - 1)
+
+        beg0 = _bisect_range(shard.wpos, lo, hi, c_start)
+        last_end = _bisect_range(shard.wpos, lo, hi, c_end + rlen)
+        n_occ = last_end - beg0
+        overflow = n_occ > R
+        n_occ_c = jnp.minimum(n_occ, R)
+
+        occ_idx = beg0 + jnp.arange(R, dtype=jnp.int32)
+        occ_v = jnp.arange(R) < n_occ_c
+        occ_idx_c = jnp.where(occ_v, occ_idx, 0)
+        occ_w = jnp.where(occ_v, shard.wpos[occ_idx_c], I32_MAX)
+        occ_h = jnp.where(occ_v, shard.hash_pos[occ_idx_c], U32_MAX)
+
+        empty = n_occ_c <= 0
+        p0 = jnp.where(empty, 0, occ_w[0])
+        w_last = jnp.where(
+            empty, -I32_MAX, shard.wpos[jnp.maximum(last_end - 1, 0)]
+        )
+        p_max = w_last - L
+
+        # activation intervals: a_r = x_r - L + 1, b_r = nextglobal - 1
+        next_w = jnp.concatenate([occ_w[1:], jnp.array([I32_MAX])])
+        # last valid occurrence: activation capped by p_max anyway
+        b_r = jnp.where(occ_v, jnp.minimum(next_w - 1, I32_MAX - 1), -2)
+        a_r = jnp.where(occ_v, occ_w - L + 1, -1)
+
+        # previous same-hash occurrence via (hash, wpos) sort
+        order = jnp.argsort(occ_h, stable=True)
+        # stable sort by hash keeps wpos order within equal hashes
+        h_sorted = occ_h[order]
+        same_prev = jnp.concatenate(
+            [jnp.array([False]), h_sorted[1:] == h_sorted[:-1]]
+        )
+        prev_sorted_idx = jnp.concatenate([jnp.array([0], jnp.int32), order[:-1]])
+        # chain event for sorted slot t (occurrence order[t]) with previous
+        # same-hash occurrence prev_sorted_idx[t]:
+        chain_valid = same_prev & occ_v[order]
+        chain_a = a_r[order]  # a of the later occurrence
+        chain_b = b_r[prev_sorted_idx]  # b of the earlier occurrence
+        chain_valid = chain_valid & (chain_a <= chain_b)
+
+        # event arrays [E]: first R plus-events, then R minus-events
+        ev_a = jnp.concatenate([a_r, jnp.where(chain_valid, chain_a, 0)])
+        ev_b = jnp.concatenate([b_r, jnp.where(chain_valid, chain_b, -1)])
+        ev_hash = jnp.concatenate([occ_h, jnp.where(chain_valid, h_sorted, U32_MAX)])
+        ev_sign = jnp.concatenate(
+            [
+                jnp.where(occ_v, jnp.int8(1), jnp.int8(0)),
+                jnp.where(chain_valid, jnp.int8(-1), jnp.int8(0)),
+            ]
+        )
+        qrank = jnp.searchsorted(qh, ev_hash, side="left").astype(jnp.int32)
+        qrank_c = jnp.minimum(qrank, S - 1)
+        in_q = (qh[qrank_c] == ev_hash) & (qrank < s)
+
+        # grid of iterator stops: x_r and x_r - L + 1
+        grid = jnp.concatenate([occ_w, a_r])
+        grid = jnp.sort(jnp.where(jnp.concatenate([occ_v, occ_v]), grid, I32_MAX))
+        grid_valid = (grid >= p0) & (grid <= p_max) & (grid != I32_MAX)
+
+        jj = jnp.arange(S, dtype=jnp.int32)
+        if cfg.l2_matmul:
+            # MXU path: activation matrix [P, E] int8 against event-column
+            # matrices [E, 2S]; one int8 matmul with int32 accumulation.
+            act = (grid[:, None] >= ev_a[None, :]) & (grid[:, None] <= ev_b[None, :])
+            a_mat = jnp.where(act, ev_sign[None, :], jnp.int8(0))
+            ref_le = ((~in_q)[:, None] & (qrank[:, None] <= jj[None, :])).astype(jnp.int8)
+            inq_eq = (in_q[:, None] & (qrank[:, None] == jj[None, :])).astype(jnp.int8)
+            b_mat = jnp.concatenate([ref_le, inq_eq], axis=1)
+            cm = jax.lax.dot_general(
+                a_mat,
+                b_mat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            c_cnt = cm[:, :S]
+            m_ind = cm[:, S:]
+        else:
+            # scatter + 2D-cumsum path, O(P*S + E): events become +-sign
+            # entries in difference arrays over (grid row, query rank).
+            row_a = jnp.searchsorted(grid, ev_a, side="left").astype(jnp.int32)
+            row_end = jnp.searchsorted(grid, ev_b, side="right").astype(jnp.int32)
+            sgn = ev_sign.astype(jnp.int32)
+            live = ev_sign != 0
+            refonly = live & ~in_q
+            inq_ev = live & in_q
+            qcol = jnp.minimum(qrank, S)  # col S = "above all query hashes"
+            d = jnp.zeros((P + 1, S + 1), jnp.int32)
+            d = d.at[row_a, qcol].add(jnp.where(refonly, sgn, 0))
+            d = d.at[row_end, qcol].add(jnp.where(refonly, -sgn, 0))
+            g = jnp.cumsum(d[:P], axis=0)
+            c_cnt = jnp.cumsum(g, axis=1)[:, :S]
+            dm = jnp.zeros((P + 1, S + 1), jnp.int32)
+            dm = dm.at[row_a, qcol].add(jnp.where(inq_ev, sgn, 0))
+            dm = dm.at[row_end, qcol].add(jnp.where(inq_ev, -sgn, 0))
+            m_ind = jnp.cumsum(dm[:P], axis=0)[:, :S]
+
+        below = (jj[None, :] + c_cnt) < s
+        shared_p = jnp.sum(
+            jnp.where(below & (m_ind > 0), 1, 0), axis=1, dtype=jnp.int32
+        )
+        shared_p = jnp.where(grid_valid, shared_p, -1)
+
+        best = jnp.max(shared_p)
+        has_best = (best > 0) & valid_cand
+        first_i = jnp.argmax(shared_p)
+        last_i = P - 1 - jnp.argmax(shared_p[::-1])
+        first_p = grid[first_i]
+        last_p = grid[last_i]
+
+        def rec_pos(p):
+            # x_beg(p) = largest occurrence wpos <= p
+            ii = jnp.searchsorted(occ_w, p, side="right") - 1
+            return occ_w[jnp.maximum(ii, 0)]
+
+        begin_opt = rec_pos(first_p)
+        last_opt = rec_pos(last_p)
+        mean_pos = jnp.where(has_best, (begin_opt + last_opt) // 2, 0)
+
+        # optimal map range of the first maximal state (for strand votes):
+        # [index of x_beg(first_p), first occurrence >= first_p + L)
+        ob = beg0 + jnp.maximum(jnp.searchsorted(occ_w, first_p, side="right") - 1, 0)
+        oe = beg0 + jnp.searchsorted(occ_w, first_p + L, side="left")
+        shared_out = jnp.where(has_best, best, 0)
+        return (
+            shared_out,
+            mean_pos,
+            jnp.where(has_best, ob, 0),
+            jnp.where(has_best, oe, 0),
+            overflow & valid_cand,
+        )
+
+    flat = (q_hash, sketch_size, read_lens, cand_seq, cand_start, cand_end)
+    return jax.lax.map(lambda xs: one(*xs), flat, batch_size=cfg.l2_chunk)

@@ -259,14 +259,18 @@ def _rightmost_windowed_argmin(key, inv, pos, w: int):
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))
-def winnow_dense(seq, k: int, w: int, alphabet_size: int = 4):
+def winnow_dense(seq, k: int, w: int, alphabet_size: int = 4, n_kmers_valid=None):
     """Device winnowing over a (possibly padded) uint8 sequence [L].
 
     Returns dense per-window arrays of length L-k+1-w+1:
     (emit_mask bool, hash uint32, wpos int32, strand int8, m int32)
     where records = compact(emit_mask). The wpos-0 chain suppression is left
     to the host-side compaction (:func:`winnow_jax`) — it affects at most the
-    first few records.
+    first few records (and never the sketch's unique hash/strand set).
+
+    ``n_kmers_valid`` (traced scalar) masks a right-padded sequence: k-mer
+    positions >= n_kmers_valid are invalid and windows touching them are not
+    evaluated.
     """
     sequ = upper_jax(seq)
     fwd = hash_kmers(sequ, k)
@@ -275,6 +279,9 @@ def winnow_dense(seq, k: int, w: int, alphabet_size: int = 4):
     else:
         bwd = jnp.full_like(fwd, UINT32_MAX)
     valid = fwd != bwd
+    if n_kmers_valid is not None:
+        pos_all = jnp.arange(fwd.shape[0], dtype=jnp.int32)
+        valid = valid & (pos_all < n_kmers_valid)
     canon = jnp.minimum(fwd, bwd)
     strand = jnp.where(fwd < bwd, jnp.int8(1), jnp.int8(-1))
 
