@@ -1,9 +1,9 @@
 """Driver benchmark: prints ONE JSON line with the headline metric.
 
-Current headline: device winnow+sketch throughput (the per-read hot path's
-first stage) in Mbases/s on one chip. Will graduate to end-to-end mapping
-reads/s/chip once the batched L1/L2 kernels land. The reference publishes no
-numbers (BASELINE.md), so vs_baseline is a placeholder ratio of 1.0.
+Headline: end-to-end mapping throughput (reads/s/chip) of the batched
+device engine — sketch + L1 + L2 + acceptance — on a synthetic multi-genome
+DB with noisy long reads, steady-state (post-compile). The reference
+publishes no numbers (BASELINE.md), so vs_baseline is a placeholder 1.0.
 """
 import json
 import sys
@@ -11,47 +11,80 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")
+
+
+def build_db(rng, n_genomes=8, genome_len=2_000_000):
+    from metamaps_tpu.engine.index import SketchShard
+    from metamaps_tpu.ops.winnow import winnow_jax
+
+    shard = SketchShard()
+    parts = []
+    genomes = []
+    for i in range(n_genomes):
+        g = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=genome_len)
+        genomes.append(g)
+        h, p, s = winnow_jax(g, 16, 16)
+        parts.append((h, p, s, i))
+        shard.contig_names.append(f"C{i}|kraken:taxid|{1000+i}|B{i}.1")
+        shard.contig_lengths.append(len(g))
+    shard.finalize(parts)
+    return genomes, shard
+
+
+def make_reads(rng, genomes, n_reads, min_len=3000, max_len=8000, sub=0.10):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    reads = []
+    for _ in range(n_reads):
+        g = genomes[rng.integers(0, len(genomes))]
+        L = int(rng.integers(min_len, max_len))
+        pos = int(rng.integers(0, len(g) - L))
+        r = g[pos : pos + L].copy()
+        nmut = int(sub * L)
+        idx = rng.integers(0, L, nmut)
+        r[idx] = bases[rng.integers(0, 4, nmut)]
+        reads.append(r)
+    return reads
+
 
 def main():
-    import jax
-    import jax.numpy as jnp
+    from metamaps_tpu.engine.mapper_jax import JaxMapperEngine
+    from metamaps_tpu.params import Parameters
 
-    sys.path.insert(0, "/root/repo")
-    from metamaps_tpu.ops.winnow import winnow_dense
-
-    k, w = 16, 16
-    L = 8192
-    B = 64
-
-    rng = np.random.default_rng(0)
-    batch = jnp.asarray(rng.integers(65, 85, size=(B, L), dtype=np.uint8))
-
-    @jax.jit
-    def sketch_batch(x):
-        def one(seq):
-            emit, h, p, s, m = winnow_dense(seq, k, w, 4)
-            return emit.sum()
-
-        return jax.vmap(one)(x)
-
-    # warmup/compile
-    sketch_batch(batch).block_until_ready()
-
-    n_iter = 20
+    rng = np.random.default_rng(7)
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        r = sketch_batch(batch)
-    r.block_until_ready()
-    dt = time.perf_counter() - t0
+    genomes, shard = build_db(rng)
+    t_db = time.perf_counter() - t0
 
-    mbases_per_s = (B * L * n_iter) / dt / 1e6
+    params = Parameters(kmer_size=16, window_size=16, min_read_length=2000,
+                        percentage_identity=80.0, report_all=True)
+    engine = JaxMapperEngine(shard, params, read_len_buckets=(8192,))
+
+    reads = make_reads(rng, genomes, 256)
+
+    # warmup (compile)
+    engine.map_reads(reads[:64])
+
+    t0 = time.perf_counter()
+    results = engine.map_reads(reads)
+    dt = time.perf_counter() - t0
+    n_mapped = sum(1 for r in results if r)
+
+    reads_per_s = len(reads) / dt
     print(
         json.dumps(
             {
-                "metric": "winnow_sketch_throughput",
-                "value": round(mbases_per_s, 2),
-                "unit": "Mbases/s/chip",
+                "metric": "mapping_throughput",
+                "value": round(reads_per_s, 2),
+                "unit": "reads/s/chip",
                 "vs_baseline": 1.0,
+                "detail": {
+                    "n_reads": len(reads),
+                    "n_mapped": n_mapped,
+                    "db_bases": sum(len(g) for g in genomes),
+                    "db_build_s": round(t_db, 2),
+                    "map_s": round(dt, 3),
+                },
             }
         )
     )

@@ -36,6 +36,8 @@ def _add_query_args(p: argparse.ArgumentParser):
     p.add_argument("--output", required=True, help="output prefix (comma-separated list allowed)")
     p.add_argument("--all", action="store_true", help="report all mappings, not just the top band")
     p.add_argument("--threads", "-t", type=int, default=1)
+    p.add_argument("--mapping-engine", choices=["auto", "jax", "oracle"], default="auto",
+                   help="batched device kernels (jax) or serial host engine (oracle)")
 
 
 def _sketch_params(args) -> Parameters:
@@ -79,7 +81,86 @@ def main(argv=None):
         p_c.add_argument("--minreads", type=int, default=10000)
         p_c.add_argument("--threads", "-t", type=int, default=1)
 
+    p_bdb = sub.add_parser("buildDB", help="build a database directory from annotated FASTAs")
+    p_bdb.add_argument("--DB", required=True, help="output database directory")
+    p_bdb.add_argument("--FASTAs", required=True, help="comma-separated annotated FASTA files")
+    p_bdb.add_argument("--taxonomy", required=True, help="source NCBI taxonomy directory")
+    p_bdb.add_argument("--shuffle", action="store_true", help="shuffle contig order")
+
+    p_ann = sub.add_parser("annotate", help="annotate genomes with kraken:taxid contig IDs (+x pseudo-nodes)")
+    p_ann.add_argument("--genomes", required=True,
+                       help="comma-separated fasta=taxonID pairs, e.g. g1.fa=562,g2.fa=562")
+    p_ann.add_argument("--output", required=True, help="combined annotated FASTA")
+    p_ann.add_argument("--taxonomy", required=True, help="taxonomy directory (x-nodes appended)")
+
+    p_val = sub.add_parser("validateDB", help="check DB integrity")
+    p_val.add_argument("--DB", required=True)
+
+    p_info = sub.add_parser("DBinfo", help="database statistics")
+    p_info.add_argument("--DB", required=True)
+
+    p_ss = sub.add_parser("selfSimilarity", help="precompute selfSimilarities.txt")
+    p_ss.add_argument("--DB", required=True)
+    p_ss.add_argument("--mode", choices=["prepare", "runJob", "collect", "all"], default="all")
+    p_ss.add_argument("--jobI", type=int, default=None)
+    p_ss.add_argument("--simFrom", type=int, default=None)
+    p_ss.add_argument("--simTo", type=int, default=None)
+    p_ss.add_argument("--simStep", type=int, default=None)
+
     args = parser.parse_args(argv)
+
+    if args.command == "buildDB":
+        from .db.build_db import build_db
+
+        build_db(args.FASTAs.split(","), args.DB, args.taxonomy,
+                 shuffle_contigs=args.shuffle)
+        return 0
+
+    if args.command == "annotate":
+        from .db.annotate import annotate_genomes
+
+        pairs = []
+        for spec in args.genomes.split(","):
+            path, _, taxon = spec.rpartition("=")
+            pairs.append((path, taxon))
+        annotate_genomes(pairs, args.output, args.taxonomy)
+        return 0
+
+    if args.command == "validateDB":
+        from .db.validate import validate_db
+
+        info = validate_db(args.DB)
+        print("DB OK:", info)
+        return 0
+
+    if args.command == "DBinfo":
+        from .db.validate import db_info
+
+        print(db_info(args.DB))
+        return 0
+
+    if args.command == "selfSimilarity":
+        from .db import self_similarity as ss
+
+        out_dir = args.DB.rstrip("/") + "/selfSimilarity"
+        kw = {}
+        if args.simFrom is not None:
+            kw["sim_from"] = args.simFrom
+        if args.simTo is not None:
+            kw["sim_to"] = args.simTo
+        if args.simStep is not None:
+            kw["sim_step"] = args.simStep
+        if args.mode == "prepare":
+            jobs = ss.prepare(args.DB, out_dir)
+            print(f"{len(jobs)} jobs -> {out_dir}/jobs.json")
+        elif args.mode == "runJob":
+            jobs = ss.load_jobs(out_dir)
+            ss.run_job(args.DB, jobs[args.jobI], out_dir, args.jobI, **kw)
+        elif args.mode == "collect":
+            print(ss.collect(args.DB, out_dir))
+        else:
+            print(ss.estimate_self_similarity(args.DB, out_dir, **kw))
+        return 0
 
     if args.command == "index":
         from .engine.index import create_index
@@ -96,6 +177,7 @@ def main(argv=None):
         params.out_file_name = args.output
         params.report_all = bool(args.all)
         params.threads = args.threads
+        params.engine = args.mapping_engine
         map_directly(params, params.maximum_memory)
 
     elif args.command == "mapAgainstIndex":
@@ -106,6 +188,7 @@ def main(argv=None):
         params.out_file_name = args.output
         params.report_all = bool(args.all)
         params.threads = args.threads
+        params.engine = args.mapping_engine
         map_against_index(params, args.index)
 
     elif args.command == "classify":

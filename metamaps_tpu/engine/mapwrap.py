@@ -182,16 +182,64 @@ def unify_files(
     write_parameters_file(unified_fn, params)
 
 
+def resolve_engine_kind(kind: str) -> str:
+    """'auto' picks the batched device engine when an accelerator is the
+    default JAX backend, the serial oracle otherwise (CPU numpy beats CPU
+    XLA for this workload at small batch sizes)."""
+    if kind != "auto":
+        return kind
+    try:
+        import jax
+
+        return "jax" if jax.default_backend() in ("tpu", "axon", "gpu") else "oracle"
+    except Exception:
+        return "oracle"
+
+
 def map_query_file_against_shard(
-    shard: SketchShard, params: Parameters, query_file: str, out_path: str
+    shard: SketchShard,
+    params: Parameters,
+    query_file: str,
+    out_path: str,
+    engine: str = "auto",
+    batch_size: int = 256,
 ):
     """skch::Map equivalent: map every (long-enough) read of one file
     against one shard, writing 12-field lines in read order
     (computeMap.hpp:104-172 + reportReadMappings)."""
+    kind = resolve_engine_kind(engine)
+    jax_engine = None
+    if kind == "jax":
+        from .mapper_jax import JaxMapperEngine
+
+        jax_engine = JaxMapperEngine(shard, params)
+
     n_mapped = 0
     n_picked = 0
     n_total = 0
+
+    def emit(out, name, mappings):
+        nonlocal n_mapped
+        mappings = mapper_oracle.report_filter(mappings, params.report_all)
+        if mappings:
+            n_mapped += 1
+        for m in mappings:
+            ml = MappingLine(
+                read_id=name,
+                read_len=m.query_len,
+                strand=m.strand,
+                contig_id=shard.contig_names[m.ref_seqid],
+                contig_len=shard.contig_lengths[m.ref_seqid],
+                ref_start=m.ref_start,
+                ref_end=m.ref_end,
+                identity=m.nuc_identity,
+                intersection=m.conserved,
+                sketch_size=m.sketch_size,
+            )
+            out.write(ml.format() + "\n")
+
     with open(out_path, "w") as out:
+        pending = []  # (name, seq) batch for the device engine
         for name, seq in read_sequences(query_file):
             n_total += 1
             if (
@@ -201,25 +249,21 @@ def map_query_file_against_shard(
             ):
                 continue
             n_picked += 1
-            mappings = mapper_oracle.report_filter(
-                mapper_oracle.map_read(shard, params, seq), params.report_all
-            )
-            if mappings:
-                n_mapped += 1
-            for m in mappings:
-                ml = MappingLine(
-                    read_id=name,
-                    read_len=m.query_len,
-                    strand=m.strand,
-                    contig_id=shard.contig_names[m.ref_seqid],
-                    contig_len=shard.contig_lengths[m.ref_seqid],
-                    ref_start=m.ref_start,
-                    ref_end=m.ref_end,
-                    identity=m.nuc_identity,
-                    intersection=m.conserved,
-                    sketch_size=m.sketch_size,
-                )
-                out.write(ml.format() + "\n")
+            if jax_engine is None:
+                emit(out, name, mapper_oracle.map_read(shard, params, seq))
+            else:
+                pending.append((name, seq))
+                if len(pending) >= batch_size:
+                    for (nm, _), ms in zip(
+                        pending, jax_engine.map_reads([s for _, s in pending])
+                    ):
+                        emit(out, nm, ms)
+                    pending = []
+        if pending:
+            for (nm, _), ms in zip(
+                pending, jax_engine.map_reads([s for _, s in pending])
+            ):
+                emit(out, nm, ms)
     return n_mapped, n_picked, n_total
 
 
@@ -235,7 +279,7 @@ def map_directly(params: Parameters, maximum_memory: int = 0):
     def map_shard(shard: SketchShard, n: int):
         for fi, (prefix, query) in enumerate(zip(prefixes, queries)):
             out_fn = f"{prefix}.{n}"
-            map_query_file_against_shard(shard, params, query, out_fn)
+            map_query_file_against_shard(shard, params, query, out_fn, engine=params.engine)
             per_file_outputs[fi].append(out_fn)
 
     build_shards(params, maximum_memory, map_shard)
@@ -274,7 +318,7 @@ def map_against_index(params: Parameters, index_prefix: str):
         shard = SketchShard.load(sf)
         for fi, (prefix, query) in enumerate(zip(prefixes, queries)):
             out_fn = f"{prefix}.{shard_i}"
-            map_query_file_against_shard(shard, use, query, out_fn)
+            map_query_file_against_shard(shard, use, query, out_fn, engine=params.engine)
             per_file_outputs[fi].append(out_fn)
 
     for fi, (prefix, query) in enumerate(zip(prefixes, queries)):

@@ -31,6 +31,7 @@ class Parameters:
     db: str = ""
     mappings_for_classification: str = ""
     minimum_reads_for_u: int = 10000
+    engine: str = "auto"  # mapping engine: auto | jax | oracle
 
     def derive_window_size(self, window_size_given: bool = False):
         """Apply the reference's window/p-value derivation

@@ -150,3 +150,19 @@ def test_map_against_index_same_output(pipeline, tmp_path):
     assert rc == 0
     with open(out) as f1, open(out2) as f2:
         assert f1.read() == f2.read()
+
+
+def test_jax_engine_pipeline_identical(pipeline, tmp_path):
+    """mapDirectly with the batched device engine must produce a
+    byte-identical mappings file."""
+    root, db, out, reads, species_ids = pipeline
+    out2 = str(tmp_path / "out_jax.mappings")
+    rc = cli_main([
+        "mapDirectly", "--reference", os.path.join(db, "DB.fa"),
+        "--query", str(root / "reads.fastq"), "--output", out2, "--all",
+        "--minReadLen", "2000", "--mapping-engine", "jax",
+    ])
+    assert rc == 0
+    with open(out) as f1, open(out2) as f2:
+        assert f1.read() == f2.read()
+    assert read_meta(out2) == read_meta(out)
