@@ -1,0 +1,105 @@
+"""Simulation + validation harness end-to-end."""
+import os
+
+import numpy as np
+import pytest
+
+from metamaps_tpu.sim.simulate import (
+    apply_error_model,
+    produce_reduced_db,
+    run_inference,
+    simulate_reads,
+    write_simulation,
+)
+from metamaps_tpu.sim.validation import (
+    EVALUATION_LEVELS,
+    evaluate_experiment,
+    lightning,
+)
+from metamaps_tpu.taxonomy import Taxonomy
+
+from util_db import make_mini_db
+
+
+@pytest.fixture(scope="module")
+def sim_db(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sim")
+    db = str(root / "DB")
+    rng = np.random.default_rng(808)
+    make_mini_db(db, rng, n_genomes=3, genome_len=50000)
+    return root, db, rng
+
+
+def test_error_model_rate(sim_db):
+    root, db, rng = sim_db
+    seq = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=20000)
+    noisy = apply_error_model(rng, seq, accuracy=0.88)
+    # length roughly preserved (ins ~ del compensates partially)
+    assert 0.9 * len(seq) < len(noisy) < 1.1 * len(seq)
+
+
+def test_simulate_and_validate(sim_db):
+    root, db, rng = sim_db
+    abund = {"1000": 0.6, "1001": 0.3, "1002": 0.1}
+    reads = simulate_reads(db, 40, rng, abundances=abund, mean_length=4000,
+                           accuracy=0.9)
+    prefix = str(root / "sim1")
+    write_simulation(reads, prefix)
+    run_inference(db, prefix + ".fastq", str(root / "inf1"))
+
+    result = evaluate_experiment(db, prefix + ".truth", str(root / "inf1"))
+    acc = result["reads"]["ALL"]
+    assert acc["absolute"]["N"] > 30
+    assert acc["absolute"]["accuracy"] > 0.9
+    assert acc["species"]["accuracy"] > 0.9
+    d = result["distribution"]
+    assert "species" in d
+    assert d["species"]["L1"] < 0.2
+    assert d["species"]["binary_recall"] == 1.0
+
+
+def test_reduced_db_novel_reads(sim_db):
+    root, db, rng = sim_db
+    # remove taxon 1002; its reads become "novel" against the reduced DB
+    reduced = produce_reduced_db(db, str(root / "DB_reduced"), ["1002"])
+    ti = open(os.path.join(reduced, "taxonInfo.txt")).read()
+    assert "1002" not in ti.split()  # taxon gone
+    reads = simulate_reads(db, 25, rng, abundances={"1002": 1.0},
+                           mean_length=4000, accuracy=0.92)
+    prefix = str(root / "sim2")
+    write_simulation(reads, prefix)
+    # all reads come from the removed genome; unrelated random genomes ->
+    # nothing maps, and classify would (like the reference) refuse an empty
+    # mappings file. Map only and check the .meta accounting.
+    from metamaps_tpu.cli import main as cli_main
+    from metamaps_tpu.io.mappings import read_meta
+
+    out = str(root / "inf2")
+    rc = cli_main([
+        "mapDirectly", "--reference", os.path.join(reduced, "DB.fa"),
+        "--query", prefix + ".fastq", "--output", out, "--all",
+        "--minReadLen", "2000",
+    ])
+    assert rc == 0
+    meta = read_meta(out)
+    mappable = meta["TotalReads"] - meta["ReadsTooShort"]
+    assert meta["ReadsNotMapped"] >= 0.8 * mappable
+
+
+def test_lightning_levels(sim_db):
+    root, db, rng = sim_db
+    taxonomy = Taxonomy(os.path.join(db, "taxonomy"))
+    mappable = {"1000", "1001", "1002"}
+    lt = lightning(taxonomy, "1000", mappable)
+    assert lt["strain"] == "1000"
+    assert lt["species"] == "1000"
+    assert lt["genus"] == "100"
+    assert lt["superkingdom"] == "2"
+    # genus-level node: species is below -> Unclassified
+    lt_g = lightning(taxonomy, "100", mappable)
+    assert lt_g["strain"] == "Unclassified"
+    assert lt_g["species"] == "Unclassified"
+    assert lt_g["genus"] == "100"
+    # unmapped read
+    lt0 = lightning(taxonomy, "0", mappable)
+    assert all(lt0[l] == "Unclassified" for l in EVALUATION_LEVELS)
