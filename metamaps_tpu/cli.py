@@ -107,7 +107,93 @@ def main(argv=None):
     p_ss.add_argument("--simTo", type=int, default=None)
     p_ss.add_argument("--simStep", type=int, default=None)
 
+    p_gla = sub.add_parser("geneLevelAnalysis", help="functional profile from best mappings x gene annotations")
+    p_gla.add_argument("--DB", required=True)
+    p_gla.add_argument("--mappings", required=True)
+
+    p_fw = sub.add_parser("filterWIMP", help="drop WIMP entries with low median identity")
+    p_fw.add_argument("--DB", required=True)
+    p_fw.add_argument("--mappings", required=True)
+    p_fw.add_argument("--identityThreshold", type=float, default=0.8)
+
+    p_cv = sub.add_parser("convertDB", help="export DB for kraken/centrifuge/mash")
+    p_cv.add_argument("--DB", required=True)
+    p_cv.add_argument("--to", choices=["kraken", "centrifuge", "mash"], required=True)
+    p_cv.add_argument("--output", required=True)
+
+    p_cmp = sub.add_parser("compareMappings", help="diff two mappings files")
+    p_cmp.add_argument("fileA")
+    p_cmp.add_argument("fileB")
+    p_cmp.add_argument("--posTolerance", type=int, default=0)
+
+    p_bi = sub.add_parser("benchmarkInference", help="per-read accuracy vs a truth table")
+    p_bi.add_argument("--mappings", required=True)
+    p_bi.add_argument("--truth", required=True)
+
+    p_pl = sub.add_parser("plotIdentities", help="per-genome identity/coverage panels (PDF)")
+    p_pl.add_argument("--mappings", required=True)
+    p_pl.add_argument("--output", default=None)
+
+    p_dl = sub.add_parser("downloadRefSeq", help="produce a RefSeq download manifest")
+    p_dl.add_argument("--targetDir", required=True)
+    p_dl.add_argument("--branches", default=None, help="comma-separated refseq branches")
+
     args = parser.parse_args(argv)
+
+    if args.command == "geneLevelAnalysis":
+        from .tools.gene_level import gene_level_analysis
+
+        out, n_with, n_without = gene_level_analysis(args.DB, args.mappings)
+        print(f"{out} ({n_with} reads on annotated contigs, {n_without} without)")
+        return 0
+
+    if args.command == "filterWIMP":
+        from .tools.wimp_filter import filter_low_identity
+
+        out_wimp, out_r2t, removed = filter_low_identity(
+            args.DB, args.mappings, args.identityThreshold
+        )
+        print(f"{out_wimp} ({len(removed)} mapping units removed)")
+        return 0
+
+    if args.command == "convertDB":
+        from .tools import convert
+
+        fn = {"kraken": convert.to_kraken, "centrifuge": convert.to_centrifuge,
+              "mash": convert.to_mash}[args.to]
+        print(fn(args.DB, args.output))
+        return 0
+
+    if args.command == "compareMappings":
+        from .tools.compare import compare_mappings
+
+        r = compare_mappings(args.fileA, args.fileB, args.posTolerance)
+        print(
+            f"reads: {r['n_a']} vs {r['n_b']}; identical {r['identical']}; "
+            f"different {len(r['different'])}; only-A {len(r['only_a'])}; "
+            f"only-B {len(r['only_b'])}"
+        )
+        return 0
+
+    if args.command == "benchmarkInference":
+        from .tools.compare import benchmark_inference
+
+        print(benchmark_inference(args.mappings, args.truth))
+        return 0
+
+    if args.command == "plotIdentities":
+        from .tools.plots import plot_identities_em
+
+        print(plot_identities_em(args.mappings, args.output))
+        return 0
+
+    if args.command == "downloadRefSeq":
+        from .db.download import make_plan, write_manifest
+
+        branches = args.branches.split(",") if args.branches else None
+        plan = make_plan(args.targetDir, branches)
+        print(write_manifest(plan, args.targetDir.rstrip("/") + ".manifest"))
+        return 0
 
     if args.command == "buildDB":
         from .db.build_db import build_db

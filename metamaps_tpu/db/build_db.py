@@ -34,14 +34,50 @@ def _count_ns(seq: np.ndarray) -> List[int]:
     return out
 
 
+def parse_gff_annotations(gff_files: List[str]) -> List[tuple]:
+    """Minimal GFF3 gene/CDS extraction (buildDB.pl:246-337): returns rows
+    (contig, start, stop, gene_name, locus_tag, protein_id, product)."""
+    rows = []
+    genes: Dict[str, list] = {}
+    cds: Dict[str, tuple] = {}
+    for fn in gff_files:
+        with open(fn) as f:
+            for line in f:
+                if line.startswith("#") or not line.strip():
+                    continue
+                fields = line.rstrip("\n").split("\t")
+                if len(fields) < 9:
+                    continue
+                contig, _, ftype, start, stop = fields[0], fields[1], fields[2], fields[3], fields[4]
+                attrs = dict(
+                    kv.split("=", 1) for kv in fields[8].split(";") if "=" in kv
+                )
+                if ftype == "gene":
+                    gid = attrs.get("ID", f"{contig}:{start}-{stop}")
+                    genes[gid] = [
+                        contig, int(start), int(stop),
+                        attrs.get("Name", gid), attrs.get("locus_tag", ""),
+                    ]
+                elif ftype == "CDS":
+                    parent = attrs.get("Parent", "")
+                    cds[parent] = (attrs.get("protein_id", ""), attrs.get("product", ""))
+    for gid, g in genes.items():
+        protein, product = cds.get(gid, ("", ""))
+        rows.append((*g, protein, product))
+    return rows
+
+
 def build_db(
     input_fastas: List[str],
     out_dir: str,
     taxonomy_dir: str,
     shuffle_contigs: bool = False,
     seed: int = 0,
+    gff_files: List[str] = None,
 ):
-    """Create the DB directory. ``taxonomy_dir`` is copied and trimmed."""
+    """Create the DB directory. ``taxonomy_dir`` is copied and trimmed.
+    When GFF files are given, DB_annotations.txt is produced for the
+    gene-level analysis."""
     os.makedirs(out_dir, exist_ok=True)
 
     contigs = []  # (contig_id, taxon_id, seq)
@@ -73,6 +109,15 @@ def build_db(
         for taxon_id in taxon_to_contigs:  # insertion (= input) order
             entry = ";".join(f"{c}={l}" for c, l in taxon_to_contigs[taxon_id])
             ti.write(f"{taxon_id} {entry}\n")
+
+    if gff_files:
+        with open(os.path.join(out_dir, "DB_annotations.txt"), "w") as ann:
+            ann.write(
+                "ContigId\tStart\tStop\tGeneName\tGeneLocusTag\t"
+                "CDSProteinId\tCDSProduct\n"
+            )
+            for row in parse_gff_annotations(gff_files):
+                ann.write("\t".join(map(str, row)) + "\n")
 
     # trimmed taxonomy
     out_tax = os.path.join(out_dir, "taxonomy")

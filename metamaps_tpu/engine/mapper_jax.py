@@ -14,7 +14,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from .. import stats
-from ..ops.batch_map import DeviceShard, MapKernelConfig, batch_l1, batch_l2_slab, batch_sketch
+from ..ops.batch_map import DeviceShard, MapKernelConfig
 from . import mapper_oracle
 from .mapper_oracle import ReadMapping
 
@@ -82,7 +82,10 @@ class JaxMapperEngine:
         return results
 
     def _map_bucket(self, cfg, bucket, idxs, seqs, results):
+        import jax
         import jax.numpy as jnp
+
+        from ..ops.batch_map import map_batch_fused
 
         B = len(idxs)
         reads = np.full((B, bucket), ord("A"), np.uint8)
@@ -91,57 +94,23 @@ class JaxMapperEngine:
             reads[r, : len(seqs[i])] = seqs[i]
             lens[r] = len(seqs[i])
 
-        q_hash, q_strand, s_size, s_ovf = batch_sketch(
-            cfg, jnp.asarray(reads), jnp.asarray(lens)
-        )
         minhits = _minhits_table(
             cfg.sketch_max, self.params.kmer_size,
             float(self.params.percentage_identity),
         )
-        c_seq_d, c_start_d, c_end_d, n_c, l1_ovf = batch_l1(
-            cfg, self.device_shard, q_hash, s_size, jnp.asarray(lens),
+        # one dispatch, one fetch: the whole sketch/L1/L2 pipeline runs
+        # device-side with on-device candidate compaction
+        out = map_batch_fused(
+            cfg, self.device_shard, jnp.asarray(reads), jnp.asarray(lens),
             jnp.asarray(minhits),
         )
+        (q_hash, q_strand, s_size, s_ovf, c_seq, n_c, l1_ovf,
+         shared, mean_pos, opt_beg, opt_end, l2_ovf, budget_ovf) = jax.device_get(out)
 
-        q_hash = np.asarray(q_hash)
-        q_strand = np.asarray(q_strand)
-        s_size = np.asarray(s_size)
-        s_ovf = np.asarray(s_ovf)
-        c_seq = np.asarray(c_seq_d)
-        c_start = np.asarray(c_start_d)
-        c_end = np.asarray(c_end_d)
-        n_c = np.asarray(n_c)
-        l1_ovf = np.asarray(l1_ovf)
-
-        # compact real candidates into fixed-size slabs for stage C
-        rows, cols = np.nonzero(c_seq >= 0)
-        N = rows.size
-        slab = cfg.l2_slab
-        n_pad = (N + slab - 1) // slab * slab if N else 0
-        shared = np.zeros_like(c_seq)
-        mean_pos = np.zeros_like(c_seq)
-        opt_beg = np.zeros_like(c_seq)
-        opt_end = np.zeros_like(c_seq)
-        l2_ovf = np.zeros(c_seq.shape, bool)
-        for s0 in range(0, n_pad, slab):
-            sel = np.arange(s0, min(s0 + slab, N))
-            pad = slab - sel.size
-            r = np.concatenate([rows[sel], np.zeros(pad, np.int64)])
-            c = np.concatenate([cols[sel], np.zeros(pad, np.int64)])
-            cs = np.concatenate([c_seq[rows[sel], cols[sel]], -np.ones(pad, c_seq.dtype)])
-            sh, mp, ob, oe, ov = batch_l2_slab(
-                cfg, self.device_shard,
-                jnp.asarray(q_hash[r]), jnp.asarray(s_size[r]),
-                jnp.asarray(lens[r]), jnp.asarray(cs),
-                jnp.asarray(c_start[r, c]), jnp.asarray(c_end[r, c]),
-            )
-            sh, mp, ob, oe, ov = (np.asarray(x) for x in (sh, mp, ob, oe, ov))
-            k_real = sel.size
-            shared[rows[sel], cols[sel]] = sh[:k_real]
-            mean_pos[rows[sel], cols[sel]] = mp[:k_real]
-            opt_beg[rows[sel], cols[sel]] = ob[:k_real]
-            opt_end[rows[sel], cols[sel]] = oe[:k_real]
-            l2_ovf[rows[sel], cols[sel]] = ov[:k_real]
+        if bool(budget_ovf):
+            for i in idxs:
+                results[i] = mapper_oracle.map_read(self.shard, self.params, seqs[i])
+            return
 
         k = self.params.kmer_size
         pi = float(self.params.percentage_identity)

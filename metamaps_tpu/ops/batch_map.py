@@ -61,8 +61,16 @@ class MapKernelConfig:
     l2_matmul: bool = False  # True: int8 MXU matmuls; False: scatter+cumsum
 
     @classmethod
-    def for_read_len(cls, read_len_max: int, k: int, w: int, alphabet_size: int = 4):
-        """Shape heuristics from the winnowing density 2/(w+1)."""
+    def for_read_len(cls, read_len_max: int, k: int, w: int, alphabet_size: int = 4,
+                     l2_matmul: bool = None):
+        """Shape heuristics from the winnowing density 2/(w+1). The L2
+        compute path defaults to int8 MXU matmuls on accelerators (XLA's
+        TPU scatter serializes updates and is ~100x slower there) and to
+        scatter+cumsum on CPU."""
+        if l2_matmul is None:
+            import jax
+
+            l2_matmul = jax.default_backend() in ("tpu", "axon", "gpu")
         n_min = int(2.5 * read_len_max / (w + 1)) + 64
         return cls(
             kmer_size=k,
@@ -73,6 +81,7 @@ class MapKernelConfig:
             cands_max=16,
             range_max=_round_up(2 * n_min + 128, 128),
             alphabet_size=alphabet_size,
+            l2_matmul=l2_matmul,
         )
 
 
@@ -138,7 +147,7 @@ def batch_sketch(cfg: MapKernelConfig, reads, read_lens):
 
     def one(seq, rlen):
         n_kmers_valid = rlen - k + 1
-        emit, h, p, st, m = winnow_dense(seq, k, w, cfg.alphabet_size, n_kmers_valid)
+        emit, h, p, st, m, _ = winnow_dense(seq, k, w, cfg.alphabet_size, n_kmers_valid)
         key = jnp.where(emit, h, U32_MAX)
         # sort by (hash, window pos): first occurrence of each hash leads
         order = jnp.argsort(key.astype(jnp.uint32), stable=True)
@@ -164,23 +173,25 @@ def batch_sketch(cfg: MapKernelConfig, reads, read_lens):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
-             read_lens, minhits_table):
+             read_lens, minhits_table, freq_threshold=None):
     """L1 candidate regions per read.
 
     minhits_table [S+1] int32: estimateMinimumHitsRelaxed per sketch size
-    (host-precomputed, scipy).
+    (host-precomputed, scipy). ``freq_threshold`` overrides the shard's
+    static threshold with a traced scalar (sharded path).
 
     Returns (cand_seq, cand_start, cand_end) [B, C] int32 (padded -1),
     n_cands [B], overflow [B] bool.
     """
     H, C = cfg.hits_max, cfg.cands_max
+    thr = shard.freq_threshold if freq_threshold is None else freq_threshold
 
     def one(qh, s, rlen):
         start = jnp.searchsorted(shard.hash_sorted, qh, side="left")
         end = jnp.searchsorted(shard.hash_sorted, qh, side="right")
         count = (end - start).astype(jnp.int32)
         valid_q = qh != U32_MAX
-        count = jnp.where(valid_q & (count < shard.freq_threshold), count, 0)
+        count = jnp.where(valid_q & (count < thr), count, 0)
 
         offsets = jnp.cumsum(count)
         total = offsets[-1]
@@ -216,7 +227,7 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
 
         # overlap merge: nearest previous candidate via running max index
         marked = jnp.where(cand, i, -1)
-        prev_incl = jax.lax.associative_scan(jnp.maximum, marked)
+        prev_incl = jax.lax.cummax(marked)
         prev_excl = jnp.concatenate([jnp.array([-1], jnp.int32), prev_incl[:-1]])
         pe = jnp.maximum(prev_excl, 0)
         has_prev = prev_excl >= 0
@@ -270,19 +281,8 @@ def _bisect_range(arr, lo, hi, val, side_right=False):
     return lo_f
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
-                  read_lens, cand_seq, cand_start, cand_end):
-    """L2 scoring for a fixed-size slab of flattened (read, candidate) pairs.
-
-    Inputs: q_hash [N,S], sketch_size [N], read_lens [N], cand_* [N]
-    (seq -1 for padding). The caller compacts real candidates into slabs of
-    cfg.l2_slab so compiled shapes never vary.
-
-    Returns per candidate: shared [N] int32, mean_pos [N] int32,
-    opt_beg [N] int32, opt_end [N] int32 (absolute occurrence indices of the
-    first maximal state's map range), overflow [N] bool.
-    """
+def _make_l2_one(cfg: MapKernelConfig, shard: DeviceShard):
+    """Per-candidate L2 scorer shared by batch_l2_slab and map_batch_fused."""
     k, w = cfg.kmer_size, cfg.window_size
     R = cfg.range_max
     S = cfg.sketch_max
@@ -427,5 +427,79 @@ def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
             overflow & valid_cand,
         )
 
+    return one
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
+                  read_lens, cand_seq, cand_start, cand_end):
+    """L2 scoring for flattened (read, candidate) pairs.
+
+    Inputs: q_hash [N,S], sketch_size [N], read_lens [N], cand_* [N]
+    (seq -1 for padding).
+
+    Returns per candidate: shared [N] int32, mean_pos [N] int32,
+    opt_beg [N] int32, opt_end [N] int32 (absolute occurrence indices of the
+    first maximal state's map range), overflow [N] bool.
+    """
+    one = _make_l2_one(cfg, shard)
     flat = (q_hash, sketch_size, read_lens, cand_seq, cand_start, cand_end)
     return jax.lax.map(lambda xs: one(*xs), flat, batch_size=cfg.l2_chunk)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def map_batch_fused(cfg: MapKernelConfig, shard: DeviceShard, reads, read_lens,
+                    minhits_table):
+    """The full mapping pipeline for one read batch in a single dispatch:
+    sketch -> L1 -> on-device candidate compaction -> L2, one host fetch.
+
+    Device-side compaction: real candidates across the [B, C] grid are
+    sorted to the front and only the first l2_budget = 4*B slots are scored
+    (budget overflow is flagged; the engine falls back to the oracle for the
+    whole batch in that rare case).
+
+    Returns (q_hash [B,S], q_strand [B,S], sketch_size [B], sketch_ovf [B],
+    cand_seq [B,C], n_cands [B], l1_ovf [B], shared [B,C], mean_pos [B,C],
+    opt_beg [B,C], opt_end [B,C], l2_ovf [B,C], budget_ovf scalar).
+    """
+    B = reads.shape[0]
+    C = cfg.cands_max
+    K = 4 * B
+
+    q_hash, q_strand, s_size, s_ovf = batch_sketch(cfg, reads, read_lens)
+    c_seq, c_start, c_end, n_c, l1_ovf = batch_l1(
+        cfg, shard, q_hash, s_size, read_lens, minhits_table
+    )
+
+    flat_seq = c_seq.reshape(-1)
+    flat_valid = flat_seq >= 0
+    n_real = flat_valid.sum()
+    budget_ovf = n_real > K
+    order = jnp.argsort(jnp.where(flat_valid, 0, 1).astype(jnp.int32), stable=True)
+    sel = order[:K]
+    sel_valid = jnp.arange(K) < n_real
+    rd = sel // C
+
+    one = _make_l2_one(cfg, shard)
+    flat = (
+        q_hash[rd],
+        s_size[rd],
+        read_lens[rd],
+        jnp.where(sel_valid, flat_seq[sel], -1),
+        jnp.where(sel_valid, c_start.reshape(-1)[sel], 0),
+        jnp.where(sel_valid, c_end.reshape(-1)[sel], 0),
+    )
+    sh, mp, ob, oe, ovf = jax.lax.map(
+        lambda xs: one(*xs), flat, batch_size=cfg.l2_chunk
+    )
+
+    def scatter(vals, fill):
+        out = jnp.full((B * C,), fill, vals.dtype)
+        return out.at[sel].set(jnp.where(sel_valid, vals, fill)).reshape(B, C)
+
+    return (
+        q_hash, q_strand, s_size, s_ovf, c_seq, n_c, l1_ovf,
+        scatter(sh, jnp.int32(0)), scatter(mp, jnp.int32(0)),
+        scatter(ob, jnp.int32(0)), scatter(oe, jnp.int32(0)),
+        scatter(ovf, False), budget_ovf,
+    )

@@ -263,8 +263,9 @@ def winnow_dense(seq, k: int, w: int, alphabet_size: int = 4, n_kmers_valid=None
     """Device winnowing over a (possibly padded) uint8 sequence [L].
 
     Returns dense per-window arrays of length L-k+1-w+1:
-    (emit_mask bool, hash uint32, wpos int32, strand int8, m int32)
-    where records = compact(emit_mask). The wpos-0 chain suppression is left
+    (emit_mask bool, hash uint32, wpos int32, strand int8, m int32,
+    evaluated bool) where records = compact(emit_mask). The wpos-0 chain
+    suppression is left
     to the host-side compaction (:func:`winnow_jax`) — it affects at most the
     first few records (and never the sketch's unique hash/strand set).
 
@@ -293,29 +294,30 @@ def winnow_dense(seq, k: int, w: int, alphabet_size: int = 4, n_kmers_valid=None
     nw = n - w + 1
     evaluated = valid[w - 1:] & (min_inv == 0)
 
-    # previous evaluated window index for each window (vectorized scan-free):
+    # previous evaluated window index for each window; lax.cummax lowers to
+    # a single native HLO (associative_scan at this length explodes XLA
+    # compile time: 450s at n=2e6)
     j = jnp.arange(nw, dtype=jnp.int32)
     marked = jnp.where(evaluated, j, jnp.int32(-1))
-    prev_incl = jax.lax.associative_scan(jnp.maximum, marked)
+    prev_incl = jax.lax.cummax(marked)
     prev_excl = jnp.concatenate([jnp.array([-1], jnp.int32), prev_incl[:-1]])
     prev_m = jnp.where(prev_excl >= 0, m[jnp.maximum(prev_excl, 0)], jnp.int32(-1))
     emit = evaluated & ((prev_excl < 0) | (m != prev_m))
 
-    return emit, canon[m].astype(jnp.uint32), j, strand[m], m
+    return emit, canon[m].astype(jnp.uint32), j, strand[m], m, evaluated
 
 
-def winnow_jax(seq, k: int, w: int, alphabet_size: int = 4):
-    """Host wrapper over :func:`winnow_dense`: compacts records and applies
-    the wpos-0 chain suppression. Output identical to :func:`winnow_oracle`."""
-    n = len(seq) - k + 1
-    if n <= 0 or n - w + 1 <= 0:
-        return (np.zeros(0, np.uint32), np.zeros(0, np.int32), np.zeros(0, np.int8))
-    emit, h, p, s, _ = winnow_dense(jnp.asarray(seq), k, w, alphabet_size)
-    emit = np.asarray(emit)
-    idx = np.flatnonzero(emit)
-    h = np.asarray(h)[idx].astype(np.uint32)
-    p = np.asarray(p)[idx].astype(np.int32)
-    s = np.asarray(s)[idx].astype(np.int8)
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _winnow_chunk_batch(chunks, k: int, w: int, alphabet_size: int, n_valid):
+    """vmap of winnow_dense over a fixed batch of fixed-size chunks — one
+    dispatch per CHUNK_BATCH chunks of reference sequence."""
+    return jax.vmap(lambda c, nv: winnow_dense(c, k, w, alphabet_size, nv))(
+        chunks, n_valid
+    )
+
+
+def _chain_suppress(h, p, s):
+    """wpos-0 chain suppression on compacted records (host side)."""
     if p.size > 1 and p[0] == 0:
         keep = np.ones(p.size, dtype=bool)
         jj = 1
@@ -323,5 +325,91 @@ def winnow_jax(seq, k: int, w: int, alphabet_size: int = 4):
             keep[jj] = False
             jj += 1
         if not keep.all():
-            h, p, s = h[keep], p[keep], s[keep]
+            return h[keep], p[keep], s[keep]
     return h, p, s
+
+
+# fixed device chunk for long sequences: one compiled shape regardless of
+# contig length. XLA compile time grows superlinearly with array length
+# (~4s at 64k, ~450s at 2M), so keep the chunk small and amortize the single
+# compile over many warm invocations.
+WINNOW_CHUNK = 1 << 17
+
+
+def winnow_jax(seq, k: int, w: int, alphabet_size: int = 4):
+    """Host wrapper over :func:`winnow_dense`: compacts records and applies
+    the wpos-0 chain suppression. Output identical to :func:`winnow_oracle`.
+
+    Sequences longer than WINNOW_CHUNK are processed in fixed-size chunks
+    with (k-1)+(w-1) overlap; each window is owned by exactly one chunk and
+    runs spanning a boundary are stitched on the host.
+    """
+    n = len(seq) - k + 1
+    if n <= 0 or n - w + 1 <= 0:
+        return (np.zeros(0, np.uint32), np.zeros(0, np.int32), np.zeros(0, np.int8))
+    seq = np.asarray(seq)
+    if len(seq) <= WINNOW_CHUNK:
+        emit, h, p, s, m, _ = winnow_dense(jnp.asarray(seq), k, w, alphabet_size)
+        emit = np.asarray(emit)
+        idx = np.flatnonzero(emit)
+        h = np.asarray(h)[idx].astype(np.uint32)
+        p = np.asarray(p)[idx].astype(np.int32)
+        s = np.asarray(s)[idx].astype(np.int8)
+        return _chain_suppress(h, p, s)
+
+    overlap = (k - 1) + (w - 1)
+    stride_windows = WINNOW_CHUNK - overlap  # windows owned per chunk
+    nw_total = n - w + 1
+
+    # assemble all chunks, process CHUNK_BATCH at a time in one dispatch each
+    starts = list(range(0, nw_total, stride_windows))
+    G = len(starts)
+    chunks = np.full((G, WINNOW_CHUNK), ord("A"), np.uint8)
+    n_valid = np.zeros(G, np.int32)
+    for gi, start in enumerate(starts):
+        piece = seq[start : start + WINNOW_CHUNK]
+        chunks[gi, : len(piece)] = piece
+        n_valid[gi] = min(len(seq), start + WINNOW_CHUNK) - start - k + 1
+
+    out_h, out_p, out_s = [], [], []
+    prev_last_eval_m = None  # absolute k-mer position of the last evaluated
+    # window's minimum (the state the in-chunk run-compression cannot see)
+    CB = 16
+    for g0 in range(0, G, CB):
+        gsel = list(range(g0, min(g0 + CB, G)))
+        pad_g = CB - len(gsel)
+        cb = chunks[gsel[0] : gsel[-1] + 1]
+        nv = n_valid[gsel[0] : gsel[-1] + 1]
+        if pad_g:
+            cb = np.concatenate([cb, np.full((pad_g, WINNOW_CHUNK), ord("A"), np.uint8)])
+            nv = np.concatenate([nv, np.full(pad_g, 1, np.int32)])
+        emit_b, h_b, p_b, s_b, m_b, ev_b = _winnow_chunk_batch(
+            jnp.asarray(cb), k, w, alphabet_size, jnp.asarray(nv)
+        )
+        emit_b, h_b, p_b, s_b, m_b, ev_b = (
+            np.asarray(x) for x in (emit_b, h_b, p_b, s_b, m_b, ev_b)
+        )
+        for li, gi in enumerate(gsel):
+            start = starts[gi]
+            own = min(stride_windows, nw_total - start)
+            idx = np.flatnonzero(emit_b[li, :own])
+            ch = h_b[li][idx]
+            cp = (p_b[li][idx] + start).astype(np.int32)
+            cs = s_b[li][idx]
+            cm = m_b[li][idx] + start
+            # stitch: the chunk's first evaluated window always emits (no
+            # in-chunk predecessor); drop it when it continues the previous
+            # chunk's minimum run (same absolute occurrence)
+            if prev_last_eval_m is not None and cm.size and cm[0] == prev_last_eval_m:
+                ch, cp, cs, cm = ch[1:], cp[1:], cs[1:], cm[1:]
+            ev_own = np.flatnonzero(ev_b[li, :own])
+            if ev_own.size:
+                prev_last_eval_m = int(m_b[li][ev_own[-1]]) + start
+            out_h.append(ch)
+            out_p.append(cp)
+            out_s.append(cs)
+
+    h = np.concatenate(out_h) if out_h else np.zeros(0, np.uint32)
+    p = np.concatenate(out_p) if out_p else np.zeros(0, np.int32)
+    s = np.concatenate(out_s) if out_s else np.zeros(0, np.int8)
+    return _chain_suppress(h.astype(np.uint32), p.astype(np.int32), s.astype(np.int8))

@@ -29,6 +29,18 @@ def make_mesh(n_devices: int, data_axis: str = "data"):
     return Mesh(devices, (data_axis,))
 
 
+def make_mesh_2d(n_shard: int, n_data: int, axes=("shard", "data")):
+    """2D mesh: index partitions along axes[0], read data-parallel along
+    axes[1]. Shard traffic (candidate all_gather) stays on the faster inner
+    dimension when laid out over ICI."""
+    import jax
+    from jax.sharding import Mesh
+
+    n = n_shard * n_data
+    devices = np.array(jax.devices()[:n]).reshape(n_shard, n_data)
+    return Mesh(devices, axes)
+
+
 def sharded_em_step(mesh, read_of_line, taxon_of_line, mapq, invloc, f, n_reads):
     """One EM round with lines data-parallel over the mesh.
 

@@ -1,0 +1,176 @@
+"""Multi-chip sharded mapping: contig-partitioned index over a device mesh.
+
+TPU-native version of the reference's memory-bounded index shards
+(winSketch.hpp:298-329 + mapWrap unifyFiles): shards become SPATIAL — the
+reference is partitioned by contigs across the mesh's "shard" axis, reads
+stream data-parallel along the "data" axis, every (shard, data) device maps
+its read block against its index partition (sketch + L1 + L2 locally), and
+per-read candidate lists are merged with an all_gather over the shard axis.
+Mapping qualities are computed only after the merge — the same contract as
+the reference's per-read shard union (mapWrap.h:145,215).
+
+The single-chip kernels from metamaps_tpu.ops.batch_map run unchanged
+inside shard_map; only the frequency threshold becomes a traced per-shard
+scalar.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+
+from ..engine.index import SketchShard
+from ..ops.batch_map import DeviceShard, MapKernelConfig, batch_l1, batch_l2_slab, batch_sketch
+
+
+def partition_contigs(shard: SketchShard, n_parts: int) -> List[SketchShard]:
+    """Split one host index into n contig-partitioned shards, balanced by
+    minimizer count (greedy). Shard-local seqids restart at 0, mirroring the
+    reference's per-shard numbering."""
+    n_contigs = len(shard.contig_names)
+    sizes = [
+        int(shard.contig_offsets[i + 1] - shard.contig_offsets[i])
+        for i in range(n_contigs)
+    ]
+    order = np.argsort(sizes)[::-1]
+    assignment = [[] for _ in range(n_parts)]
+    load = [0] * n_parts
+    for ci in order:
+        tgt = int(np.argmin(load))
+        assignment[tgt].append(int(ci))
+        load[tgt] += sizes[ci]
+
+    parts = []
+    for contig_ids in assignment:
+        contig_ids = sorted(contig_ids)
+        sub = SketchShard()
+        sub_parts = []
+        for local, ci in enumerate(contig_ids):
+            lo, hi = int(shard.contig_offsets[ci]), int(shard.contig_offsets[ci + 1])
+            sub_parts.append(
+                (
+                    shard.hash_pos_order[lo:hi],
+                    shard.wpos[lo:hi],
+                    shard.strand[lo:hi],
+                    local,
+                )
+            )
+            sub.contig_names.append(shard.contig_names[ci])
+            sub.contig_lengths.append(shard.contig_lengths[ci])
+        sub.finalize(sub_parts)
+        parts.append(sub)
+    return parts
+
+
+def stack_shards(parts: List[SketchShard]):
+    """Pad per-shard arrays to a common size and stack with a leading shard
+    axis; returns (arrays dict, contig maps). Padding entries use sentinel
+    values that never match lookups."""
+    import jax.numpy as jnp
+
+    D = len(parts)
+    m_max = max(max(p.n_minimizers, 1) for p in parts)
+    c_max = max(max(len(p.contig_names), 1) for p in parts)
+
+    def pad1(x, n, fill):
+        out = np.full((n,), fill, dtype=x.dtype if hasattr(x, "dtype") else None)
+        out[: len(x)] = x
+        return out
+
+    arrs = {
+        "hash_sorted": [],
+        "seqid_byhash": [],
+        "wpos_byhash": [],
+        "wpos": [],
+        "hash_pos": [],
+        "strand_pos": [],
+        "contig_offsets": [],
+        "freq_threshold": [],
+    }
+    for p in parts:
+        arrs["hash_sorted"].append(pad1(p.hash_sorted, m_max, np.uint32(0xFFFFFFFF)))
+        arrs["seqid_byhash"].append(pad1(p.seqid_byhash, m_max, np.int32(2**31 - 1)))
+        arrs["wpos_byhash"].append(pad1(p.wpos_byhash, m_max, np.int32(2**31 - 1)))
+        # position-order arrays padded with a huge wpos in a virtual contig
+        arrs["wpos"].append(pad1(p.wpos, m_max, np.int32(2**31 - 1)))
+        arrs["hash_pos"].append(pad1(p.hash_pos_order, m_max, np.uint32(0xFFFFFFFF)))
+        arrs["strand_pos"].append(pad1(p.strand, m_max, np.int8(1)))
+        co = np.full(c_max + 1, p.n_minimizers, np.int32)
+        co[: len(p.contig_offsets)] = p.contig_offsets.astype(np.int32)
+        arrs["contig_offsets"].append(co)
+        arrs["freq_threshold"].append(np.int32(min(p.freq_threshold, 2**31 - 1)))
+    return {k: jnp.asarray(np.stack(v)) for k, v in arrs.items()}
+
+
+def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
+                     minhits_table):
+    """One full sharded mapping step on a ('shard', 'data') mesh:
+
+    reads [Bg, Lmax] sharded over 'data' (replicated over 'shard');
+    index arrays sharded over 'shard' (replicated over 'data');
+    returns per-read candidates (seqid, shared count, mean position)
+    all-gathered over the shard axis — the spatial unifyFiles merge. The
+    host maps shard-local seqids back to contigs and computes mapping
+    qualities over the union, exactly as in the serial shard loop.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ax_shard, ax_data = mesh.axis_names
+
+    def local(hash_sorted, seqid_byhash, wpos_byhash, wpos, hash_pos, strand_pos,
+              contig_offsets, freq_thr, reads_l, lens_l, minhits):
+        # leading shard axis of size 1 inside the shard_map body
+        shard = DeviceShard(
+            hash_sorted=hash_sorted[0],
+            seqid_byhash=seqid_byhash[0],
+            wpos_byhash=wpos_byhash[0],
+            wpos=wpos[0],
+            hash_pos=hash_pos[0],
+            strand_pos=strand_pos[0],
+            contig_offsets=contig_offsets[0],
+            freq_threshold=0,  # unused; traced override below
+        )
+        q_hash, q_strand, s_size, _ = batch_sketch(cfg, reads_l, lens_l)
+        c_seq, c_start, c_end, n_c, ovf = batch_l1(
+            cfg, shard, q_hash, s_size, lens_l, minhits,
+            freq_threshold=freq_thr[0, 0],
+        )
+        B, C = c_seq.shape
+        rd = jnp.repeat(jnp.arange(B), C)
+        sh, mp, ob, oe, ovf2 = batch_l2_slab(
+            cfg, shard, q_hash[rd], s_size[rd], lens_l[rd],
+            c_seq.reshape(-1), c_start.reshape(-1), c_end.reshape(-1),
+        )
+        shared = sh.reshape(B, C)
+        mean_pos = mp.reshape(B, C)
+
+        # merge candidates across index shards (per read): the collective
+        # equivalent of unifyFiles' per-read concatenation of shard outputs
+        g_seq = jax.lax.all_gather(c_seq, ax_shard)  # [D, B, C]
+        g_shared = jax.lax.all_gather(shared, ax_shard)
+        g_pos = jax.lax.all_gather(mean_pos, ax_shard)
+        return g_seq, g_shared, g_pos
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
+            P(ax_shard), P(ax_shard), P(ax_shard),
+            P(ax_data), P(ax_data), P(),
+        ),
+        out_specs=(P(None, ax_data), P(None, ax_data), P(None, ax_data)),
+        check_rep=False,
+    )
+    import jax
+
+    return jax.jit(fn)(
+        stacked["hash_sorted"], stacked["seqid_byhash"], stacked["wpos_byhash"],
+        stacked["wpos"], stacked["hash_pos"], stacked["strand_pos"],
+        stacked["contig_offsets"], stacked["freq_threshold"].reshape(-1, 1),
+        reads, read_lens, minhits_table,
+    )

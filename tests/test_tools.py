@@ -1,0 +1,126 @@
+"""Analysis utilities: gene-level, WIMP filter, converters, comparisons,
+plots, misc DB helpers."""
+import os
+
+import numpy as np
+import pytest
+
+from metamaps_tpu.cli import main as cli_main
+
+from util_db import make_mini_db, write_reads_fastq
+from util_sim import sample_reads
+
+
+@pytest.fixture(scope="module")
+def analyzed(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tools")
+    db = str(root / "DB")
+    rng = np.random.default_rng(909)
+    genomes, contig_names, species_ids = make_mini_db(db, rng, n_genomes=2,
+                                                      genome_len=30000)
+    # gene annotations covering the first genome
+    with open(os.path.join(db, "DB_annotations.txt"), "w") as f:
+        f.write("ContigId\tStart\tStop\tGeneName\tGeneLocusTag\tCDSProteinId\tCDSProduct\n")
+        for i in range(0, 30000, 5000):
+            f.write(f"{contig_names[0]}\t{i}\t{i+2999}\tgene{i//5000}\tLT{i//5000}\tWP_{i//5000}\tproduct {i//5000}\n")
+    with open(os.path.join(db, "DB_proteins.faa.annotated"), "w") as f:
+        for i in range(6):
+            f.write(f"WP_{i}\teggNOG\tCOG{i % 3}\n")
+
+    reads = sample_reads(rng, genomes, 24, min_len=2500, max_len=5000, sub=0.05)
+    fq = str(root / "reads.fastq")
+    write_reads_fastq(fq, reads)
+    out = str(root / "out.mappings")
+    assert cli_main(["mapDirectly", "--reference", os.path.join(db, "DB.fa"),
+                     "--query", fq, "--output", out, "--all",
+                     "--minReadLen", "2000"]) == 0
+    assert cli_main(["classify", "--DB", db, "--mappings", out]) == 0
+    return root, db, out
+
+
+def test_gene_level_analysis(analyzed):
+    root, db, out = analyzed
+    assert cli_main(["geneLevelAnalysis", "--DB", db, "--mappings", out]) == 0
+    gla = out + ".EM.geneLevelAnalysis"
+    rows = [l.rstrip("\n").split("\t") for l in open(gla)][1:]
+    assert rows, "no genes hit"
+    for r in rows:
+        assert int(r[4]) >= 1
+        assert 0 <= float(r[5]) <= 1
+    cogs = out + ".EM.proteins.eggNOG"
+    assert os.path.exists(cogs)
+
+
+def test_wimp_filter(analyzed):
+    root, db, out = analyzed
+    assert cli_main(["filterWIMP", "--DB", db, "--mappings", out,
+                     "--identityThreshold", "0.8"]) == 0
+    assert os.path.exists(out + ".EM.WIMP.filteredByIdentity")
+    # strict threshold removes everything -> all reads unclassified
+    assert cli_main(["filterWIMP", "--DB", db, "--mappings", out,
+                     "--identityThreshold", "0.999"]) == 0
+    rows = [l.split("\t") for l in open(out + ".EM.reads2Taxon.filteredByIdentity")]
+    assert all(r[1].strip() == "0" for r in rows)
+
+
+def test_converters(analyzed, tmp_path):
+    root, db, out = analyzed
+    assert cli_main(["convertDB", "--DB", db, "--to", "kraken",
+                     "--output", str(tmp_path / "kr")]) == 0
+    lib = tmp_path / "kr" / "library" / "metamaps.fna"
+    heads = [l for l in open(lib) if l.startswith(">")]
+    assert all("kraken:taxid|" in h for h in heads)
+    assert cli_main(["convertDB", "--DB", db, "--to", "centrifuge",
+                     "--output", str(tmp_path / "cf")]) == 0
+    assert (tmp_path / "cf" / "seqid2taxid.map").exists()
+    assert cli_main(["convertDB", "--DB", db, "--to", "mash",
+                     "--output", str(tmp_path / "ms")]) == 0
+    assert len(list((tmp_path / "ms").glob("*.fa"))) == 2
+
+
+def test_compare_and_benchmark(analyzed, tmp_path):
+    root, db, out = analyzed
+    assert cli_main(["compareMappings", out, out]) == 0
+    truth = tmp_path / "truth.txt"
+    with open(out + ".EM.reads2Taxon") as f, open(truth, "w") as t:
+        t.write(f.read())
+    from metamaps_tpu.tools.compare import benchmark_inference
+
+    r = benchmark_inference(out, str(truth))
+    assert r["accuracy"] == 1.0  # truth == inference by construction
+
+
+def test_plots(analyzed):
+    root, db, out = analyzed
+    assert cli_main(["plotIdentities", "--mappings", out]) == 0
+    assert os.path.exists(out + ".EM.identitiesAndCoverage.pdf")
+
+
+def test_misc_and_manifest(analyzed, tmp_path):
+    root, db, out = analyzed
+    from metamaps_tpu.tools.misc import add_taxon_id_to_fasta, shorten_contig_ids
+
+    plain = tmp_path / "plain.fa"
+    with open(plain, "w") as f:
+        f.write(">chr1 description\nACGTACGTACGT\n")
+    n = add_taxon_id_to_fasta(str(plain), str(tmp_path / "ann.fa"), "1234")
+    assert n == 1
+    head = open(tmp_path / "ann.fa").readline()
+    assert head.startswith(">C1|kraken:taxid|1234|chr1")
+    n2 = shorten_contig_ids(str(tmp_path / "ann.fa"), str(tmp_path / "short.fa"),
+                            str(tmp_path / "map.txt"))
+    assert n2 == 1
+    assert cli_main(["downloadRefSeq", "--targetDir", str(tmp_path / "dl")]) == 0
+    assert os.path.exists(str(tmp_path / "dl") + ".manifest")
+
+
+def test_gff_annotations(tmp_path):
+    from metamaps_tpu.db.build_db import parse_gff_annotations
+
+    gff = tmp_path / "a.gff"
+    with open(gff, "w") as f:
+        f.write("##gff-version 3\n")
+        f.write("ctg1\t.\tgene\t100\t400\t.\t+\t.\tID=g1;Name=dnaA;locus_tag=LT1\n")
+        f.write("ctg1\t.\tCDS\t100\t400\t.\t+\t0\tID=c1;Parent=g1;protein_id=WP_1;product=replication protein\n")
+    rows = parse_gff_annotations([str(gff)])
+    assert rows == [("ctg1", 100, 400, "dnaA", "LT1", "WP_1", "replication protein")]
