@@ -100,10 +100,25 @@ class JaxMapperEngine:
         )
         # one dispatch, one fetch: the whole sketch/L1/L2 pipeline runs
         # device-side with on-device candidate compaction
-        out = map_batch_fused(
-            cfg, self.device_shard, jnp.asarray(reads), jnp.asarray(lens),
-            jnp.asarray(minhits),
-        )
+        try:
+            out = map_batch_fused(
+                cfg, self.device_shard, jnp.asarray(reads), jnp.asarray(lens),
+                jnp.asarray(minhits),
+            )
+        except Exception:
+            if cfg.l2_path == "pallas":
+                # pallas unavailable on this backend: permanently fall back
+                # to the scatter path for this bucket
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, l2_impl="scatter")
+                self._configs[bucket] = cfg
+                out = map_batch_fused(
+                    cfg, self.device_shard, jnp.asarray(reads),
+                    jnp.asarray(lens), jnp.asarray(minhits),
+                )
+            else:
+                raise
         (q_hash, q_strand, s_size, s_ovf, c_seq, n_c, l1_ovf,
          shared, mean_pos, opt_beg, opt_end, l2_ovf, budget_ovf) = jax.device_get(out)
 

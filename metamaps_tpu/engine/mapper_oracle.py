@@ -157,24 +157,36 @@ def l2_map_region(shard, q_sorted, s, read_len, k, w, candidate):
 
 def _strand_votes(shard, q_sorted, q_strand, s, beg, end):
     """computeStatistics parity (slidingMap.hpp:232-254) over the optimal
-    range: votes from the first s map keys present in both; ref strand/wpos
-    is the last occurrence in position order for duplicate hashes."""
+    range, vectorized: votes from the first s union keys present in both;
+    the ref strand for duplicate hashes is the last occurrence in position
+    order (the map's wposR revision)."""
     r_hash = shard.hash_pos_order[beg:end]
     r_strand = shard.strand[beg:end].astype(np.int32)
-    ref_last = {}
-    for h, st in zip(r_hash.tolist(), r_strand.tolist()):
-        ref_last[h] = st
-    union = np.union1d(q_sorted, r_hash)
-    votes = 0
-    unique_ref = 0
-    q_set = {int(h): int(st) for h, st in zip(q_sorted.tolist(), q_strand.tolist())}
-    for i, h in enumerate(union.tolist()):
-        in_q = h in q_set
-        in_r = h in ref_last
-        if i < s and in_q and in_r:
-            votes += q_set[h] * ref_last[h]
-        if in_r:
-            unique_ref += 1
+    order = np.argsort(r_hash, kind="stable")
+    rh = r_hash[order]
+    rs = r_strand[order]
+    if rh.size:
+        last = np.ones(rh.size, dtype=bool)
+        last[:-1] = rh[1:] != rh[:-1]
+        rh_u, rs_u = rh[last], rs[last]
+    else:
+        rh_u, rs_u = rh, rs
+    unique_ref = int(rh_u.size)
+    if rh_u.size == 0:
+        return 0, 0
+
+    # union rank of q_j = j + #(ref-only hashes < q_j)
+    pos = np.searchsorted(rh_u, q_sorted)
+    in_r = (pos < rh_u.size) & (rh_u[np.minimum(pos, max(rh_u.size - 1, 0))] == q_sorted)
+    ref_only = rh_u[~np.isin(rh_u, q_sorted)]
+    rank = np.arange(q_sorted.size) + np.searchsorted(ref_only, q_sorted)
+    votes_mask = in_r & (rank < s)
+    votes = int(
+        np.sum(
+            q_strand[votes_mask].astype(np.int32)
+            * rs_u[pos[votes_mask]].astype(np.int32)
+        )
+    )
     return votes, unique_ref
 
 

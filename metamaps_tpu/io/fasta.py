@@ -30,7 +30,16 @@ def _open_maybe_gzip(path: str):
 
 
 def read_sequences(path: str) -> Iterator[Tuple[str, np.ndarray]]:
-    """Yield (name, uint8 sequence) for each record in a FASTA/FASTQ file."""
+    """Yield (name, uint8 sequence) for each record in a FASTA/FASTQ file.
+
+    Uses the native C++ reader (native/fastx.cpp via ctypes) when available,
+    falling back to the pure-Python parser."""
+    from .native import read_sequences_native
+
+    native = read_sequences_native(path)
+    if native is not None:
+        yield from native
+        return
     with _open_maybe_gzip(path) as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else b""
         if first == b"@":

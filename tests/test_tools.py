@@ -124,3 +124,40 @@ def test_gff_annotations(tmp_path):
         f.write("ctg1\t.\tCDS\t100\t400\t.\t+\t0\tID=c1;Parent=g1;protein_id=WP_1;product=replication protein\n")
     rows = parse_gff_annotations([str(gff)])
     assert rows == [("ctg1", 100, 400, "dnaA", "LT1", "WP_1", "replication protein")]
+
+
+def test_native_reader_matches_python(tmp_path):
+    import gzip
+
+    from metamaps_tpu.io import fasta
+    from metamaps_tpu.io import native as nv
+
+    fa = tmp_path / "x.fa"
+    with open(fa, "w") as f:
+        f.write(">a desc\nACGT\nACG\n>b\nTTTT\n>empty\n>c\nG\n")
+    fq = tmp_path / "y.fastq"
+    with open(fq, "w") as f:
+        f.write("@r1 d\nACGTA\n+\nIIIII\n@r2\nGG\n+\nII\n")
+    gz = tmp_path / "z.fa.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(">g\n" + "ACGT" * 50 + "\n")
+
+    for p in (str(fa), str(fq), str(gz)):
+        native = nv.read_sequences_native(p)
+        if native is None:
+            import pytest
+
+            pytest.skip("native reader unavailable")
+        nat = [(n, s.tobytes()) for n, s in native]
+        import os
+
+        os.environ["METAMAPS_TPU_NATIVE"] = "0"
+        nv._TRIED = False
+        nv._LIB = None
+        try:
+            py = [(n, s.tobytes()) for n, s in fasta.read_sequences(p)]
+        finally:
+            del os.environ["METAMAPS_TPU_NATIVE"]
+            nv._TRIED = False
+            nv._LIB = None
+        assert nat == py, p
