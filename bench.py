@@ -75,6 +75,34 @@ def main():
     n_mapped = sum(1 for r in results if r)
 
     reads_per_s = len(reads) / dt
+
+    # EM iteration time on a synthetic device-resident table
+    # (1M read-location lines, 5k taxa, 250k reads)
+    from metamaps_tpu.engine.em import MappingTable, make_em_iterate_jax
+
+    n_lines, n_reads_em, n_tax = 1_000_000, 250_000, 5_000
+    table = MappingTable(
+        lines=[], contig_of_line=[], read_ids=["r"] * n_reads_em,
+        taxon_list=["t"] * n_tax,
+        read_of_line=np.repeat(np.arange(n_reads_em), n_lines // n_reads_em),
+        taxon_of_line=rng.integers(0, n_tax, n_lines).astype(np.int32),
+        mapq=rng.random(n_lines).astype(np.float64),
+        inv_locations=np.full(n_lines, 1e-6),
+        identity=np.zeros(n_lines), start=np.zeros(n_lines, np.int64),
+        stop=np.zeros(n_lines, np.int64),
+        read_len=np.zeros(n_lines, np.int64),
+    )
+    step = make_em_iterate_jax(table)
+    import jax
+
+    f = np.full(n_tax, 1.0 / n_tax, np.float32)
+    jax.block_until_ready(step(f))  # compile
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out_em = step(f)
+    jax.block_until_ready(out_em)
+    em_ms = (time.perf_counter() - t0) / 10 * 1000
+
     print(
         json.dumps(
             {
@@ -88,6 +116,7 @@ def main():
                     "db_bases": sum(len(g) for g in genomes),
                     "db_build_s": round(t_db, 2),
                     "map_s": round(dt, 3),
+                    "em_iter_ms_1Mlines": round(em_ms, 2),
                 },
             }
         )

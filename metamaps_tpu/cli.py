@@ -285,7 +285,10 @@ def main(argv=None):
         params.mappings_for_classification = args.mappings
         params.minimum_reads_for_u = args.minreads
         params.threads = args.threads
-        do_em(params, args.mappings)
+        # comma-separated mappings lists, as in the reference
+        # (mash_map.cpp:311-316)
+        for mf in args.mappings.split(","):
+            do_em(params, mf)
 
     elif args.command == "classifyU":
         from .engine.u import do_u
@@ -294,7 +297,8 @@ def main(argv=None):
         params.db = args.DB
         params.mappings_for_classification = args.mappings
         params.minimum_reads_for_u = args.minreads
-        do_u(params, args.mappings)
+        for mf in args.mappings.split(","):
+            do_u(params, mf)
 
     return 0
 

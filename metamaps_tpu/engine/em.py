@@ -206,19 +206,60 @@ def em_iterate(table: MappingTable, f: np.ndarray) -> Tuple[np.ndarray, float]:
     return f_next, ll
 
 
-def run_em(table: MappingTable, verbose: bool = True):
-    """The EM loop with the reference convergence rule (fEM.h:501-661)."""
+def make_em_iterate_jax(table: MappingTable, dtype=None):
+    """Device EM round: the same segment-sum formulation as
+    :func:`em_iterate`, jitted over flat device-resident arrays. Returns a
+    function f -> (f_next, ll). Used by the throughput benchmark and the
+    multi-chip path (metamaps_tpu.parallel.mesh adds the psum)."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    n_reads = len(table.read_ids)
+    n_tax = len(table.taxon_list)
+    tax = jnp.asarray(table.taxon_of_line)
+    rid = jnp.asarray(table.read_of_line.astype(np.int32))
+    coef = jnp.asarray((table.inv_locations * table.mapq).astype(dtype))
+
+    @jax.jit
+    def step(f_in):
+        f = jnp.asarray(f_in).astype(dtype)
+        l = f[tax] * coef
+        per_read = jax.ops.segment_sum(l, rid, num_segments=n_reads)
+        ll = jnp.sum(jnp.log(per_read))
+        p = l / per_read[rid]
+        f_next = jax.ops.segment_sum(p, tax, num_segments=n_tax)
+        return f_next / f_next.sum(), ll
+
+    return step
+
+
+def run_em(table: MappingTable, verbose: bool = True, backend: str = "numpy"):
+    """The EM loop with the reference convergence rule (fEM.h:501-661).
+
+    backend 'numpy' runs float64 on host (parity path); 'jax' runs the
+    jitted device rounds with host-side convergence control."""
     n_tax = len(table.taxon_list)
     f = np.full(n_tax, 1.0 / n_tax, np.float64)
+    step = None
+    if backend == "jax":
+        step = make_em_iterate_jax(table)
     ll_last = None
     iteration = 0
     while True:
-        f_next, ll = em_iterate(table, f)
+        if step is None:
+            f_next, ll = em_iterate(table, f)
+        else:
+            f_next_d, ll_d = step(f)
+            f_next = np.asarray(f_next_d, np.float64)
+            ll = float(ll_d)
         if verbose:
             print(f"EM round {iteration}\n\tLog likelihood: {ll}")
         if ll_last is not None:
             ll_diff = ll - ll_last
-            assert ll_diff >= -1e-6, f"EM log-likelihood decreased by {-ll_diff}"
+            tol = 1e-6 if step is None else 1e-2 * max(1.0, abs(ll))
+            assert ll_diff >= -tol, f"EM log-likelihood decreased by {-ll_diff}"
             rel_imp = 1 - ll / ll_last
             if ll_diff <= 1 and rel_imp < 1e-4:
                 f = f_next

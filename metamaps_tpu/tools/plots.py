@@ -64,6 +64,51 @@ def plot_identities_em(mappings_prefix: str, out_pdf: Optional[str] = None,
     return out_pdf
 
 
+def plot_validation_results(results: Dict, out_pdf: str, title: str = ""):
+    """Simulation-accuracy panels (doPlots.R analog): per-category read
+    accuracy by level, and per-level composition L1/recall bars, from the
+    dict returned by metamaps_tpu.sim.validation.evaluate_experiment."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    reads = results["reads"]
+    dist = results["distribution"]
+    levels = ["absolute", "strain", "species", "genus", "family", "superkingdom"]
+    cats = sorted(reads)
+
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4.2))
+    ax = axes[0]
+    width = 0.8 / max(1, len(cats))
+    xs = np.arange(len(levels))
+    for ci, cat in enumerate(cats):
+        ys = [reads[cat].get(l, {}).get("accuracy", float("nan")) for l in levels]
+        ax.bar(xs + ci * width, ys, width, label=cat)
+    ax.set_xticks(xs + 0.4)
+    ax.set_xticklabels(levels, rotation=30, fontsize=8)
+    ax.set_ylim(0, 1.05)
+    ax.set_ylabel("read-level accuracy")
+    ax.legend(fontsize=7)
+    ax.set_title(f"{title} reads".strip(), fontsize=9)
+
+    ax2 = axes[1]
+    dl = [l for l in levels if l in dist]
+    ax2.bar(np.arange(len(dl)) - 0.2, [dist[l]["L1"] for l in dl], 0.4,
+            label="L1 distance")
+    ax2.bar(np.arange(len(dl)) + 0.2, [dist[l]["binary_recall"] for l in dl],
+            0.4, label="binary recall")
+    ax2.set_xticks(np.arange(len(dl)))
+    ax2.set_xticklabels(dl, rotation=30, fontsize=8)
+    ax2.legend(fontsize=7)
+    ax2.set_title(f"{title} composition".strip(), fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_pdf)
+    plt.close(fig)
+    return out_pdf
+
+
 def plot_unknown_results(mappings_prefix: str, out_pdf: Optional[str] = None):
     """Shifted identity histograms per taxon from the U output
     (plotUnknownResults.R equivalent)."""

@@ -166,3 +166,19 @@ def test_jax_engine_pipeline_identical(pipeline, tmp_path):
     with open(out) as f1, open(out2) as f2:
         assert f1.read() == f2.read()
     assert read_meta(out2) == read_meta(out)
+
+
+def test_em_jax_backend_matches_numpy(pipeline):
+    """Device EM rounds must match the host float64 EM to tolerance."""
+    from metamaps_tpu.engine.em import (
+        load_mapping_table,
+        load_relevant_taxon_info,
+        run_em,
+    )
+
+    root, db, out, reads, species_ids = pipeline
+    ti = load_relevant_taxon_info(db, set())
+    table = load_mapping_table(out, ti)
+    f_np, it_np = run_em(table, verbose=False, backend="numpy")
+    f_jx, it_jx = run_em(table, verbose=False, backend="jax")
+    np.testing.assert_allclose(f_np, f_jx, rtol=5e-4, atol=1e-6)

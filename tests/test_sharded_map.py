@@ -16,7 +16,7 @@ from util_sim import random_genome, sample_reads
 @pytest.fixture(scope="module")
 def setup():
     rng = np.random.default_rng(77)
-    genomes = [random_genome(rng, 30000) for _ in range(8)]
+    genomes = [random_genome(rng, 15000) for _ in range(8)]
     params = Parameters(kmer_size=16, window_size=16, percentage_identity=80.0)
     full = SketchShard()
     parts = []
@@ -46,10 +46,10 @@ def test_sharded_step_matches_per_partition(setup):
     stacked = stack_shards(parts)
     mesh = make_mesh_2d(4, 2)
 
-    cfg = MapKernelConfig.for_read_len(4096, 16, 16)
-    reads_raw = sample_reads(rng, genomes, 8, min_len=2500, max_len=3800, sub=0.05)
+    cfg = MapKernelConfig.for_read_len(2048, 16, 16)
+    reads_raw = sample_reads(rng, genomes, 6, min_len=1200, max_len=1900, sub=0.05)
     B = len(reads_raw)
-    reads = np.full((B, 4096), ord("A"), np.uint8)
+    reads = np.full((B, 2048), ord("A"), np.uint8)
     lens = np.zeros(B, np.int32)
     for i, (seq, *_class) in enumerate(reads_raw):
         reads[i, : len(seq)] = seq

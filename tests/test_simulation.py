@@ -103,3 +103,43 @@ def test_lightning_levels(sim_db):
     # unmapped read
     lt0 = lightning(taxonomy, "0", mappable)
     assert all(lt0[l] == "Unclassified" for l in EVALUATION_LEVELS)
+
+
+def test_truth_helpers(sim_db):
+    root, db, rng = sim_db
+    from metamaps_tpu.engine.em import load_relevant_taxon_info
+    from metamaps_tpu.sim.truth import (
+        project_truth_into_db,
+        truth_from_read_headers,
+        write_truth,
+    )
+
+    acc2tax = {"NC_0001.1": "1000", "NC_0002.1": "1001"}
+    truth = truth_from_read_headers(
+        ["NC_0001.1_read5", "NC_0002.1/77", "unknown_read"], acc2tax
+    )
+    assert truth == {"NC_0001.1_read5": "1000", "NC_0002.1/77": "1001",
+                     "unknown_read": "0"}
+
+    taxonomy = Taxonomy(os.path.join(db, "taxonomy"))
+    mappable = set(load_relevant_taxon_info(db, set()))
+    # a genus-level truth projects to the genus (attachment ancestor of a
+    # mappable species); species truth stays; unknown stays 0
+    projected = project_truth_into_db(
+        {"r1": "1000", "r2": "100", "r3": "0"}, taxonomy, mappable
+    )
+    assert projected["r1"] == "1000"
+    assert projected["r2"] == "100"   # has mappable descendant 1000
+    assert projected["r3"] == "0"
+    out = write_truth(projected, str(root / "t_out.txt"))
+    assert open(out).read().count("\n") == 3
+
+
+def test_validation_plot(sim_db, tmp_path):
+    root, db, rng = sim_db
+    from metamaps_tpu.sim.validation import evaluate_experiment
+    from metamaps_tpu.tools.plots import plot_validation_results
+
+    res = evaluate_experiment(db, str(root / "sim1.truth"), str(root / "inf1"))
+    pdf = plot_validation_results(res, str(tmp_path / "val.pdf"), title="sim1")
+    assert os.path.exists(pdf)
