@@ -145,37 +145,57 @@ def load_mapping_table(mapped_file: str, taxon_info) -> MappingTable:
     # 1/#possibleMappingLocations per (read, taxon) (fEM.h:324-348):
     # sum over the taxon's contigs of (len - readLen + 1) for contigs at
     # least read-length long, plus 1 for each shorter contig that appears in
-    # this read's own mapping lines.
+    # this read's own mapping lines. Vectorized over (read, taxon) pairs.
     sorted_lengths = {}
-    for t, contigs in taxon_info.items():
-        ls = np.sort(np.array(list(contigs.values()), np.int64))
-        sorted_lengths[t] = (ls, np.cumsum(ls[::-1])[::-1])  # lengths asc, suffix sums
+    for i, t in enumerate(taxon_list):
+        ls = np.sort(np.array(list(taxon_info[t].values()), np.int64))
+        suffix = np.concatenate([np.cumsum(ls[::-1])[::-1], [0]])
+        sorted_lengths[i] = (ls, suffix)
 
-    inv_loc = np.zeros(len(lines_all), np.float64)
-    # group line indices per read
+    n_lines = len(lines_all)
+    pair_key = read_of_line_arr * np.int64(len(taxon_list)) + taxon_of_line
+    pair_unique, pair_inv = np.unique(pair_key, return_inverse=True)
+    pair_read = (pair_unique // len(taxon_list)).astype(np.int64)
+    pair_tax = (pair_unique % len(taxon_list)).astype(np.int64)
+    # read length per read (constant within a read)
     n_reads = len(read_ids)
-    order = np.arange(len(lines_all))
     read_starts = np.searchsorted(read_of_line_arr, np.arange(n_reads + 1))
-    for ri in range(n_reads):
-        lo, hi = read_starts[ri], read_starts[ri + 1]
-        rl = int(read_len_arr[lo])
-        seen_taxa = {}
-        for j in range(lo, hi):
-            t = taxon_strs[j]
-            seen_taxa.setdefault(t, set()).add(contig_of_line[j])
-        loc_per_taxon = {}
-        for t, seen_contigs in seen_taxa.items():
-            ls, suffix = sorted_lengths[t]
-            i0 = np.searchsorted(ls, rl, side="left")
-            n_ge = ls.size - i0
-            base = int(suffix[i0] - n_ge * (rl - 1)) if n_ge > 0 else 0
-            short_seen = sum(
-                1 for c in seen_contigs if taxon_info[t][c] < rl
-            )
-            loc_per_taxon[t] = base + short_seen
-            assert loc_per_taxon[t] > 0
-        for j in range(lo, hi):
-            inv_loc[j] = 1.0 / loc_per_taxon[taxon_strs[j]]
+    rl_per_read = read_len_arr[read_starts[:-1]]
+    pair_rl = rl_per_read[pair_read]
+
+    base = np.zeros(pair_unique.size, np.int64)
+    for ti in range(len(taxon_list)):
+        sel = np.flatnonzero(pair_tax == ti)
+        if not sel.size:
+            continue
+        ls, suffix = sorted_lengths[ti]
+        i0 = np.searchsorted(ls, pair_rl[sel], side="left")
+        n_ge = ls.size - i0
+        base[sel] = suffix[i0] - n_ge * (pair_rl[sel] - 1)
+
+    # +1 per distinct short contig of this (read, taxon) seen in the lines
+    contig_len_line = np.array(
+        [taxon_info[taxon_strs[j]][contig_of_line[j]] for j in range(n_lines)],
+        np.int64,
+    )
+    short_mask = contig_len_line < read_len_arr
+    if short_mask.any():
+        contig_codes = np.unique(
+            np.array(contig_of_line, dtype=object)[short_mask], return_inverse=True
+        )[1]
+        trip = (
+            pair_inv[short_mask].astype(np.int64) * (contig_codes.max() + 1)
+            + contig_codes
+        )
+        trip_unique = np.unique(trip)
+        short_counts = np.bincount(
+            (trip_unique // (contig_codes.max() + 1)).astype(np.int64),
+            minlength=pair_unique.size,
+        )
+        base += short_counts
+    assert (base > 0).all()
+
+    inv_loc = 1.0 / base[pair_inv].astype(np.float64)
 
     return MappingTable(
         lines=lines_all,

@@ -5,13 +5,22 @@ batches; acceptance statistics (CI bounds) and strand votes run on host
 (cached scipy / tiny per-accepted-candidate work). Reads that overflow the
 static kernel shapes fall back to the serial oracle — outputs are identical
 to :mod:`metamaps_tpu.engine.mapper_oracle` either way.
+
+Set METAMAPS_TPU_PROFILE=1 for per-batch stage timings on stderr (the
+analog of the reference's ENABLE_TIME_PROFILE_L1_L2,
+map_parameters.hpp:13 / computeMap.hpp:230-263).
 """
 from __future__ import annotations
 
+import os
+import sys
+import time
 from functools import lru_cache
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
+
+_PROFILE = os.environ.get("METAMAPS_TPU_PROFILE", "0") == "1"
 
 from .. import stats
 from ..ops.batch_map import DeviceShard, MapKernelConfig
@@ -119,8 +128,16 @@ class JaxMapperEngine:
                 )
             else:
                 raise
+        t_dispatch = time.perf_counter()
         (q_hash, q_strand, s_size, s_ovf, c_seq, n_c, l1_ovf,
          shared, mean_pos, opt_beg, opt_end, l2_ovf, budget_ovf) = jax.device_get(out)
+        if _PROFILE:
+            print(
+                f"PROFILE mapper_jax: bucket={bucket} B={B} "
+                f"device+fetch={time.perf_counter() - t_dispatch:.3f}s "
+                f"cands={int((np.asarray(c_seq) >= 0).sum())}",
+                file=sys.stderr,
+            )
 
         if bool(budget_ovf):
             for i in idxs:

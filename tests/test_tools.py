@@ -161,3 +161,47 @@ def test_native_reader_matches_python(tmp_path):
             nv._TRIED = False
             nv._LIB = None
         assert nat == py, p
+
+
+def test_reads_util_and_competitor_converters(tmp_path):
+    from metamaps_tpu.tools.reads_util import extract_reads, first_quartile_quality
+    from metamaps_tpu.tools.competitors import (
+        CompetitorNotInstalled,
+        kraken_reads_to_reads2taxon,
+        centrifuge_reads_to_reads2taxon,
+        run_kraken,
+    )
+
+    fq = tmp_path / "r.fastq"
+    with open(fq, "w") as f:
+        f.write("@a\nACGT\n+\nII#I\n@b\nGGTT\n+\n!!II\n")
+    c, phred = first_quartile_quality(str(fq))
+    assert c == "!" and phred == 0
+
+    n = extract_reads(str(fq), ["b"], str(tmp_path / "sub.fa"))
+    assert n == 1
+    assert open(tmp_path / "sub.fa").read() == ">b\nGGTT\n"
+
+    kr = tmp_path / "k.out"
+    with open(kr, "w") as f:
+        f.write("C\tread1\t562\t100\t...\n")
+        f.write("U\tread2\t0\t0\t...\n")
+    out = kraken_reads_to_reads2taxon(str(kr), str(tmp_path / "k.r2t"))
+    assert open(out).read() == "read1\t562\nread2\t0\n"
+    assert "read2" in open(out + ".unclassified").read()
+
+    cf = tmp_path / "c.out"
+    with open(cf, "w") as f:
+        f.write("readID\tseqID\ttaxID\tscore\n")
+        f.write("r1\tC5|x\t0\t10\n")
+        f.write("r1\tC6|x\t99\t9\n")   # second hit ignored
+        f.write("r2\tunclassified\t0\t0\n")
+    out = centrifuge_reads_to_reads2taxon(
+        str(cf), str(tmp_path / "c.r2t"), contig_to_taxon={"C5": "777"}
+    )
+    assert open(out).read() == "r1\t777\nr2\t0\n"
+
+    import pytest as _pytest
+
+    with _pytest.raises(CompetitorNotInstalled):
+        run_kraken("db", "reads", "out", binary="definitely-not-a-binary")
