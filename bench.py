@@ -53,17 +53,17 @@ def main():
 
     rng = np.random.default_rng(7)
     t0 = time.perf_counter()
-    genomes, shard = build_db(rng, n_genomes=4, genome_len=1_000_000)
+    genomes, shard = build_db(rng, n_genomes=2, genome_len=1_000_000)
     t_db = time.perf_counter() - t0
 
     params = Parameters(kmer_size=16, window_size=16, min_read_length=2000,
                         percentage_identity=80.0, report_all=True)
     engine = JaxMapperEngine(shard, params, read_len_buckets=(8192,))
 
-    reads = make_reads(rng, genomes, 128)
+    reads = make_reads(rng, genomes, 96)
 
     # warmup (compile + tunnel channel setup)
-    engine.map_reads(reads[:64])
+    engine.map_reads(reads[:32])
 
     # the shared-tunnel TPU has large run-to-run variance; report the best
     # of three measurements

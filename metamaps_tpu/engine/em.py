@@ -18,7 +18,6 @@ the multi-chip path):
 """
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass
 from typing import Dict, List, Set, Tuple

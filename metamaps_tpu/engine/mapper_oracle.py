@@ -21,7 +21,7 @@ Also used as the CPU fallback engine for small inputs.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -27,7 +27,7 @@ from typing import List
 import numpy as np
 
 from .. import stats
-from ..io.fasta import read_sequences, total_file_size
+from ..io.fasta import read_sequences
 from ..io.mappings import (
     MappingLine,
     fmt_g,

@@ -15,10 +15,8 @@ Parity with src/meta/fU_helper.h:
 """
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Set
 
-import numpy as np
 
 
 class IdentityReadLengthHistogram:

@@ -166,10 +166,16 @@ def batch_sketch(cfg: MapKernelConfig, reads, read_lens):
         uniq = jnp.concatenate([jnp.array([True]), hs[1:] != hs[:-1]])
         uniq = uniq & (hs != U32_MAX)
         n_unique = uniq.sum()
-        # compact unique entries to the front (stable sort by ~uniq)
-        cidx = jnp.argsort(jnp.where(uniq, 0, 1).astype(jnp.int32), stable=True)
-        hs_c = jnp.where(uniq[cidx], hs[cidx], U32_MAX)[:S]
-        st_c = sts[cidx][:S]
+        # compact the unique entries to the front: slot t takes the t-th
+        # unique element (searchsorted over the running unique count — a
+        # [S]-sized gather instead of a second full argsort)
+        cum = jnp.cumsum(uniq.astype(jnp.int32))
+        src = jnp.searchsorted(cum, jnp.arange(1, S + 1, dtype=jnp.int32),
+                               side="left")
+        src_c = jnp.minimum(src, hs.shape[0] - 1)
+        slot_valid = jnp.arange(S) < n_unique
+        hs_c = jnp.where(slot_valid, hs[src_c], U32_MAX)
+        st_c = sts[src_c]
         overflow = n_unique > S
         return hs_c, st_c, jnp.minimum(n_unique, S).astype(jnp.int32), overflow
 

@@ -13,7 +13,6 @@ spatial:
 """
 from __future__ import annotations
 
-from functools import partial
 
 import numpy as np
 

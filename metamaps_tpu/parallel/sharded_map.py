@@ -15,8 +15,7 @@ scalar.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 
