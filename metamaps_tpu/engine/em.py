@@ -433,7 +433,9 @@ def do_em(params, mapped_file: str):
 
     taxonomy = Taxonomy(os.path.join(db_dir, "taxonomy"))
 
-    f_arr, n_iter = run_em(table)
+    f_arr, n_iter = run_em(
+        table, backend=os.environ.get("METAMAPS_TPU_EM_BACKEND", "numpy")
+    )
     p = responsibilities(table, f_arr)
 
     # --- final outputs ------------------------------------------------------

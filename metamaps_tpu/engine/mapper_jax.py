@@ -83,15 +83,25 @@ class JaxMapperEngine:
             else:
                 by_bucket.setdefault(b, []).append(i)
 
+        # pipeline: enqueue every chunk of a bucket on the device (JAX async
+        # dispatch) before the first fetch, so device compute overlaps
+        # transfers and host post-processing
         for bucket, idxs in by_bucket.items():
             cfg = self._config_for(bucket)
-            for chunk_start in range(0, len(idxs), 64):
-                chunk = idxs[chunk_start : chunk_start + 64]
-                self._map_bucket(cfg, bucket, chunk, seqs, results)
+            chunks = [idxs[i : i + self.CHUNK]
+                      for i in range(0, len(idxs), self.CHUNK)]
+            pending = [
+                (chunk, self._dispatch_bucket(cfg, bucket, chunk, seqs))
+                for chunk in chunks
+            ]
+            cfg = self._configs[bucket]  # may have fallen back from pallas
+            for chunk, out in pending:
+                self._collect_bucket(cfg, bucket, chunk, seqs, results, out)
         return results
 
-    def _map_bucket(self, cfg, bucket, idxs, seqs, results):
-        import jax
+    CHUNK = 128  # reads per device dispatch
+
+    def _dispatch_bucket(self, cfg, bucket, idxs, seqs):
         import jax.numpy as jnp
 
         from ..ops.batch_map import map_batch_fused
@@ -107,10 +117,8 @@ class JaxMapperEngine:
             cfg.sketch_max, self.params.kmer_size,
             float(self.params.percentage_identity),
         )
-        # one dispatch, one fetch: the whole sketch/L1/L2 pipeline runs
-        # device-side with on-device candidate compaction
         try:
-            out = map_batch_fused(
+            return map_batch_fused(
                 cfg, self.device_shard, jnp.asarray(reads), jnp.asarray(lens),
                 jnp.asarray(minhits),
             )
@@ -122,19 +130,24 @@ class JaxMapperEngine:
 
                 cfg = dataclasses.replace(cfg, l2_impl="scatter")
                 self._configs[bucket] = cfg
-                out = map_batch_fused(
+                return map_batch_fused(
                     cfg, self.device_shard, jnp.asarray(reads),
                     jnp.asarray(lens), jnp.asarray(minhits),
                 )
-            else:
-                raise
-        t_dispatch = time.perf_counter()
+            raise
+
+    def _collect_bucket(self, cfg, bucket, idxs, seqs, results, out):
+        import jax
+
+        B = len(idxs)
+        lens = np.array([len(seqs[i]) for i in idxs], np.int32)
+        t_fetch = time.perf_counter()
         (q_hash, q_strand, s_size, s_ovf, c_seq, n_c, l1_ovf,
          shared, mean_pos, opt_beg, opt_end, l2_ovf, budget_ovf) = jax.device_get(out)
         if _PROFILE:
             print(
                 f"PROFILE mapper_jax: bucket={bucket} B={B} "
-                f"device+fetch={time.perf_counter() - t_dispatch:.3f}s "
+                f"fetch+wait={time.perf_counter() - t_fetch:.3f}s "
                 f"cands={int((np.asarray(c_seq) >= 0).sum())}",
                 file=sys.stderr,
             )
