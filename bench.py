@@ -60,10 +60,11 @@ def main():
                         percentage_identity=80.0, report_all=True)
     engine = JaxMapperEngine(shard, params, read_len_buckets=(8192,))
 
-    reads = make_reads(rng, genomes, 96)
+    reads = make_reads(rng, genomes, 256)
 
-    # warmup (compile + tunnel channel setup)
-    engine.map_reads(reads[:32])
+    # warmup (compile + tunnel channel setup); 128 reads = one full chunk so
+    # the timed run reuses the compiled B=128 shape across both its chunks
+    engine.map_reads(reads[:128])
 
     # the shared-tunnel TPU has large run-to-run variance; report the best
     # of three measurements

@@ -107,9 +107,17 @@ class JaxMapperEngine:
         from ..ops.batch_map import map_batch_fused
 
         B = len(idxs)
-        reads = np.full((B, bucket), ord("A"), np.uint8)
-        lens = np.zeros(B, np.int32)
-        for r, i in enumerate(idxs):
+        # round the batch up to a power of two (capped at CHUNK) so XLA
+        # compiles at most ~5 shapes per bucket instead of one per distinct
+        # chunk size; padding rows repeat a real read and are never read back
+        b_pad = 8
+        while b_pad < B:
+            b_pad *= 2
+        b_pad = min(max(b_pad, B), self.CHUNK)
+        reads = np.full((b_pad, bucket), ord("A"), np.uint8)
+        lens = np.zeros(b_pad, np.int32)
+        for r in range(b_pad):
+            i = idxs[r] if r < B else idxs[0]
             reads[r, : len(seqs[i])] = seqs[i]
             lens[r] = len(seqs[i])
 
