@@ -92,54 +92,103 @@ class MappingTable:
     taxon_list: List[str]  # sorted
 
 
-def load_mapping_table(mapped_file: str, taxon_info) -> MappingTable:
+def _parse_columns_python(mapped_file: str):
+    """Pure-Python fallback for the native parser (same column dict)."""
     lines_all: List[str] = []
     read_of_line: List[int] = []
-    taxon_strs: List[str] = []
+    contig_map: Dict[str, int] = {}
+    contigs: List[str] = []
+    contig_idx: List[int] = []
     mapq: List[float] = []
     identity: List[float] = []
-    contig_of_line: List[str] = []
     start: List[int] = []
     stop: List[int] = []
     read_len: List[int] = []
     read_ids: List[str] = []
 
     for ri, read_lines in enumerate(iter_reads_grouped(mapped_file)):
-        mq_sum = 0.0
         for line in read_lines:
             f = line.split(" ")
             contig_id = f[5]
-            taxon_id = extract_taxon_id(contig_id)
-            if taxon_id not in taxon_info:
-                raise RuntimeError(
-                    f"Unknown taxonID '{taxon_id}' — was this mapped against "
-                    f"the specified database?"
-                )
+            ci = contig_map.get(contig_id)
+            if ci is None:
+                ci = len(contigs)
+                contig_map[contig_id] = ci
+                contigs.append(contig_id)
             try:
                 q = float(f[13])
             except (ValueError, OverflowError):
                 q = 0.0
-            assert 0.0 <= q <= 1.0
-            mq_sum += q
             lines_all.append(line)
             read_of_line.append(ri)
-            taxon_strs.append(taxon_id)
+            contig_idx.append(ci)
             mapq.append(q)
             identity.append(float(f[9]) / 100.0)
-            contig_of_line.append(contig_id)
             start.append(int(f[7]))
             stop.append(int(f[8]))
             read_len.append(int(f[1]))
-        assert abs(1 - mq_sum) <= 1e-3
         read_ids.append(read_lines[0].split(" ", 1)[0])
 
-    taxon_list = sorted(set(taxon_strs))
+    return {
+        "lines": lines_all,
+        "read_of_line": np.array(read_of_line, np.int64),
+        "contig_idx": np.array(contig_idx, np.int32),
+        "contigs": contigs,
+        "mapq": np.array(mapq, np.float64),
+        "identity": np.array(identity, np.float64),
+        "start": np.array(start, np.int64),
+        "stop": np.array(stop, np.int64),
+        "read_len": np.array(read_len, np.int64),
+        "read_ids": read_ids,
+    }
+
+
+def load_mapping_table(mapped_file: str, taxon_info) -> MappingTable:
+    from ..io.native import parse_mappings_native
+
+    cols = parse_mappings_native(mapped_file)
+    if cols is None:
+        cols = _parse_columns_python(mapped_file)
+
+    lines_all: List[str] = cols["lines"]
+    contigs: List[str] = cols["contigs"]
+    contig_idx = np.asarray(cols["contig_idx"], np.int64)
+    read_of_line_arr = np.asarray(cols["read_of_line"], np.int64)
+    read_len_arr = np.asarray(cols["read_len"], np.int64)
+    start_arr = np.asarray(cols["start"], np.int64)
+    stop_arr = np.asarray(cols["stop"], np.int64)
+    mapq_arr = np.asarray(cols["mapq"], np.float64)
+    identity_arr = np.asarray(cols["identity"], np.float64)
+    read_ids: List[str] = cols["read_ids"]
+    n_lines = len(lines_all)
+    n_reads = len(read_ids)
+
+    # taxon resolution + DB membership check, per unique contig only
+    taxon_per_contig: List[str] = []
+    for c in contigs:
+        t = extract_taxon_id(c)
+        if t not in taxon_info:
+            raise RuntimeError(
+                f"Unknown taxonID '{t}' — was this mapped against "
+                f"the specified database?"
+            )
+        taxon_per_contig.append(t)
+
+    read_starts = np.searchsorted(read_of_line_arr, np.arange(n_reads + 1))
+    if n_lines:
+        # per-line quality range + per-read sum-to-one (fEM.h parity)
+        assert float(mapq_arr.min()) >= 0.0 and float(mapq_arr.max()) <= 1.0
+        mq_sums = np.add.reduceat(mapq_arr, read_starts[:-1])
+        assert float(np.abs(1.0 - mq_sums).max()) <= 1e-3
+
+    taxon_list = sorted(set(taxon_per_contig))
     tmap = {t: i for i, t in enumerate(taxon_list)}
-    taxon_of_line = np.array([tmap[t] for t in taxon_strs], np.int32)
-    read_of_line_arr = np.array(read_of_line, np.int64)
-    read_len_arr = np.array(read_len, np.int64)
-    start_arr = np.array(start, np.int64)
-    stop_arr = np.array(stop, np.int64)
+    tax_of_contig = np.array([tmap[t] for t in taxon_per_contig], np.int32)
+    taxon_of_line = (
+        tax_of_contig[contig_idx] if n_lines else np.empty(0, np.int32)
+    )
+    contig_idx_list = contig_idx.tolist()
+    contig_of_line = [contigs[i] for i in contig_idx_list]
 
     # 1/#possibleMappingLocations per (read, taxon) (fEM.h:324-348):
     # sum over the taxon's contigs of (len - readLen + 1) for contigs at
@@ -151,14 +200,11 @@ def load_mapping_table(mapped_file: str, taxon_info) -> MappingTable:
         suffix = np.concatenate([np.cumsum(ls[::-1])[::-1], [0]])
         sorted_lengths[i] = (ls, suffix)
 
-    n_lines = len(lines_all)
     pair_key = read_of_line_arr * np.int64(len(taxon_list)) + taxon_of_line
     pair_unique, pair_inv = np.unique(pair_key, return_inverse=True)
     pair_read = (pair_unique // len(taxon_list)).astype(np.int64)
     pair_tax = (pair_unique % len(taxon_list)).astype(np.int64)
     # read length per read (constant within a read)
-    n_reads = len(read_ids)
-    read_starts = np.searchsorted(read_of_line_arr, np.arange(n_reads + 1))
     rl_per_read = read_len_arr[read_starts[:-1]]
     pair_rl = rl_per_read[pair_read]
 
@@ -173,22 +219,23 @@ def load_mapping_table(mapped_file: str, taxon_info) -> MappingTable:
         base[sel] = suffix[i0] - n_ge * (pair_rl[sel] - 1)
 
     # +1 per distinct short contig of this (read, taxon) seen in the lines
-    contig_len_line = np.array(
-        [taxon_info[taxon_strs[j]][contig_of_line[j]] for j in range(n_lines)],
+    len_of_contig = np.array(
+        [taxon_info[taxon_per_contig[u]][contigs[u]] for u in range(len(contigs))],
         np.int64,
+    )
+    contig_len_line = (
+        len_of_contig[contig_idx] if n_lines else np.empty(0, np.int64)
     )
     short_mask = contig_len_line < read_len_arr
     if short_mask.any():
-        contig_codes = np.unique(
-            np.array(contig_of_line, dtype=object)[short_mask], return_inverse=True
-        )[1]
+        n_contigs = len(contigs)
         trip = (
-            pair_inv[short_mask].astype(np.int64) * (contig_codes.max() + 1)
-            + contig_codes
+            pair_inv[short_mask].astype(np.int64) * n_contigs
+            + contig_idx[short_mask]
         )
         trip_unique = np.unique(trip)
         short_counts = np.bincount(
-            (trip_unique // (contig_codes.max() + 1)).astype(np.int64),
+            (trip_unique // n_contigs).astype(np.int64),
             minlength=pair_unique.size,
         )
         base += short_counts
@@ -200,9 +247,9 @@ def load_mapping_table(mapped_file: str, taxon_info) -> MappingTable:
         lines=lines_all,
         read_of_line=read_of_line_arr,
         taxon_of_line=taxon_of_line,
-        mapq=np.array(mapq, np.float64),
+        mapq=mapq_arr,
         inv_locations=inv_loc,
-        identity=np.array(identity, np.float64),
+        identity=identity_arr,
         contig_of_line=contig_of_line,
         start=start_arr,
         stop=stop_arr,

@@ -60,6 +60,107 @@ def available() -> bool:
     return _build_and_load() is not None
 
 
+# --- mapping-file parser (native/mapq_parse.cpp) ----------------------------
+
+_MAPQ_LIB = None
+_MAPQ_TRIED = False
+
+
+class _MapqData(ctypes.Structure):
+    _fields_ = [
+        ("buf", ctypes.POINTER(ctypes.c_char)),
+        ("buf_len", ctypes.c_int64),
+        ("n_lines", ctypes.c_int64),
+        ("n_reads", ctypes.c_int64),
+        ("n_contigs", ctypes.c_int64),
+        ("line_beg", ctypes.POINTER(ctypes.c_int64)),
+        ("line_end", ctypes.POINTER(ctypes.c_int64)),
+        ("read_of_line", ctypes.POINTER(ctypes.c_int64)),
+        ("contig_idx", ctypes.POINTER(ctypes.c_int32)),
+        ("read_len", ctypes.POINTER(ctypes.c_int64)),
+        ("start", ctypes.POINTER(ctypes.c_int64)),
+        ("stop", ctypes.POINTER(ctypes.c_int64)),
+        ("identity", ctypes.POINTER(ctypes.c_double)),
+        ("mapq", ctypes.POINTER(ctypes.c_double)),
+        ("contig_beg", ctypes.POINTER(ctypes.c_int64)),
+        ("contig_end", ctypes.POINTER(ctypes.c_int64)),
+        ("read_id_beg", ctypes.POINTER(ctypes.c_int64)),
+        ("read_id_end", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
+def _build_and_load_mapq() -> Optional[ctypes.CDLL]:
+    global _MAPQ_LIB, _MAPQ_TRIED
+    if _MAPQ_TRIED:
+        return _MAPQ_LIB
+    _MAPQ_TRIED = True
+    if os.environ.get("METAMAPS_TPU_NATIVE", "1") == "0":
+        return None
+    src = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "mapq_parse.cpp"
+    )
+    src = os.path.abspath(src)
+    if not os.path.exists(src):
+        return None
+    so = os.path.join(os.path.dirname(src), "libmapqparse.so")
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.mapq_parse.argtypes = [ctypes.c_char_p, ctypes.POINTER(_MapqData)]
+        lib.mapq_parse.restype = ctypes.c_int
+        lib.mapq_free.argtypes = [ctypes.POINTER(_MapqData)]
+        _MAPQ_LIB = lib
+    except Exception:
+        _MAPQ_LIB = None
+    return _MAPQ_LIB
+
+
+def parse_mappings_native(path: str):
+    """Columnar parse of a mapping-qualities file. Returns a dict of numpy
+    columns + decoded strings, or None when the native library is
+    unavailable or the file isn't a clean 14-field file (caller falls back
+    to the Python parser, which raises the right errors)."""
+    lib = _build_and_load_mapq()
+    if lib is None:
+        return None
+    data = _MapqData()
+    rc = lib.mapq_parse(path.encode(), ctypes.byref(data))
+    if rc != 0:
+        return None  # rc=1 open failure / rc>=2 malformed — Python path decides
+    try:
+        n, r, c = int(data.n_lines), int(data.n_reads), int(data.n_contigs)
+
+        def arr(ptr, count, copy=True):
+            if count == 0:
+                return np.empty(0, np.ctypeslib.as_array(ptr, shape=(1,)).dtype)
+            a = np.ctypeslib.as_array(ptr, shape=(count,))
+            return a.copy() if copy else a
+
+        cols = {
+            "read_of_line": arr(data.read_of_line, n),
+            "contig_idx": arr(data.contig_idx, n),
+            "read_len": arr(data.read_len, n),
+            "start": arr(data.start, n),
+            "stop": arr(data.stop, n),
+            "identity": arr(data.identity, n),
+            "mapq": arr(data.mapq, n),
+        }
+        text = ctypes.string_at(data.buf, data.buf_len).decode("latin-1")
+        lb, le = arr(data.line_beg, n).tolist(), arr(data.line_end, n).tolist()
+        cols["lines"] = [text[b:e] for b, e in zip(lb, le)]
+        cb, ce = arr(data.contig_beg, c).tolist(), arr(data.contig_end, c).tolist()
+        cols["contigs"] = [text[b:e] for b, e in zip(cb, ce)]
+        rb, re_ = arr(data.read_id_beg, r).tolist(), arr(data.read_id_end, r).tolist()
+        cols["read_ids"] = [text[b:e] for b, e in zip(rb, re_)]
+    finally:
+        lib.mapq_free(ctypes.byref(data))
+    return cols
+
+
 def read_sequences_native(path: str) -> Optional[Iterator[Tuple[str, np.ndarray]]]:
     """Parse the whole file natively; returns None when unavailable so the
     caller can fall back to the Python reader."""

@@ -182,3 +182,31 @@ def test_em_jax_backend_matches_numpy(pipeline):
     f_np, it_np = run_em(table, verbose=False, backend="numpy")
     f_jx, it_jx = run_em(table, verbose=False, backend="jax")
     np.testing.assert_allclose(f_np, f_jx, rtol=5e-4, atol=1e-6)
+
+
+def test_native_mapping_parser_matches_python(pipeline):
+    """The C++ columnar parser (native/mapq_parse.cpp) must produce exactly
+    the columns of the Python fallback on a real mapped+qualities file, and
+    must decline files without mapping qualities (12 fields)."""
+    from metamaps_tpu.engine.em import _parse_columns_python
+    from metamaps_tpu.io.native import parse_mappings_native
+
+    root, db, out, reads, species_ids = pipeline
+    nat = parse_mappings_native(out)
+    if nat is None:
+        pytest.skip("native toolchain unavailable")
+    py = _parse_columns_python(out)
+    assert nat["lines"] == py["lines"]
+    assert nat["contigs"] == py["contigs"]
+    assert nat["read_ids"] == py["read_ids"]
+    for k in ("read_of_line", "contig_idx", "read_len", "start", "stop"):
+        np.testing.assert_array_equal(np.asarray(nat[k]), py[k])
+    for k in ("identity", "mapq"):
+        np.testing.assert_array_equal(np.asarray(nat[k]), py[k])  # bit-exact
+
+    # a 12-field file (pre-addMappingQualities) must be declined, not parsed
+    raw = str(root / "twelve.mappings")
+    with open(out) as f_in, open(raw, "w") as f_out:
+        for line in f_in:
+            f_out.write(" ".join(line.rstrip("\n").split(" ")[:12]) + "\n")
+    assert parse_mappings_native(raw) is None
