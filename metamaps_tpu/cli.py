@@ -101,7 +101,8 @@ def main(argv=None):
 
     p_ss = sub.add_parser("selfSimilarity", help="precompute selfSimilarities.txt")
     p_ss.add_argument("--DB", required=True)
-    p_ss.add_argument("--mode", choices=["prepare", "runJob", "collect", "all"], default="all")
+    p_ss.add_argument("--mode", choices=["prepare", "prepareFromTemplate", "runJob", "collect", "all"], default="all")
+    p_ss.add_argument("--templateDB", default=None)
     p_ss.add_argument("--jobI", type=int, default=None)
     p_ss.add_argument("--simFrom", type=int, default=None)
     p_ss.add_argument("--simTo", type=int, default=None)
@@ -239,6 +240,17 @@ def main(argv=None):
         if args.mode == "prepare":
             jobs = ss.prepare(args.DB, out_dir)
             print(f"{len(jobs)} jobs -> {out_dir}/jobs.json")
+        elif args.mode == "prepareFromTemplate":
+            if not args.templateDB:
+                print("Please specify --templateDB", file=sys.stderr)
+                return 1
+            jobs, n_copy, n_re = ss.prepare_from_template(
+                args.DB, out_dir, args.templateDB
+            )
+            print(
+                f"{len(jobs)} jobs: {n_copy} copied from template, "
+                f"{n_re} recomputed -> selfSimilarities.txt"
+            )
         elif args.mode == "runJob":
             jobs = ss.load_jobs(out_dir)
             ss.run_job(args.DB, jobs[args.jobI], out_dir, args.jobI, **kw)

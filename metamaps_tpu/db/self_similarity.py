@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import zlib
 from dataclasses import dataclass, asdict
-from typing import Dict, List, Optional, Set
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
@@ -130,47 +132,45 @@ def _chunk_positions(contigs, lengths, delta, max_chunks, rng):
     return out
 
 
-def run_job(
-    db_dir: str,
-    job: SelfSimJob,
-    out_dir: str,
-    job_index: int,
-    sim_from: int = SIM_SIZE_FROM,
-    sim_to: int = SIM_SIZE_TO,
-    sim_step: int = SIM_SIZE_STEP,
-    sim_delta: int = SIM_DELTA,
-    max_chunks: int = TARGET_MAX_CHUNKS,
-    percentage_identity: float = 80.0,
-):
-    """Execute one leave-one-out mapping job; writes results/<i>.json with
-    {chunkLength: {identityInt: count}} over mapped chunks."""
-    taxon_info = load_relevant_taxon_info(db_dir, set())
-    a_contig_ids = set(taxon_info[job.a_taxon])
-    b_contig_ids = set()
+def job_contigs(taxon_info, job: SelfSimJob) -> Tuple[List[str], List[str]]:
+    """Sorted (A, B) contig ID lists — the reference keys template reuse on
+    exactly these (estimateSelfSimilarity.pl:206-210 computation_key)."""
+    contigs_a = sorted(taxon_info[job.a_taxon])
+    b: Set[str] = set()
     for t in job.b_taxa:
-        b_contig_ids.update(taxon_info[t])
+        b.update(taxon_info[t])
+    return contigs_a, sorted(b)
 
-    a_contigs = []
-    b_contigs = []
+
+def _load_db_contigs(db_dir: str, a_ids: Set[str], b_ids: Set[str]):
+    a_contigs, b_contigs = [], []
     for name, seq in read_sequences(os.path.join(db_dir, "DB.fa")):
-        if name in a_contig_ids:
+        if name in a_ids:
             a_contigs.append((name, seq))
-        elif name in b_contig_ids:
+        elif name in b_ids:
             b_contigs.append((name, seq))
+    return a_contigs, b_contigs
 
-    rng = np.random.default_rng(abs(hash(";".join(sorted(a_contig_ids)))) % 2**32)
-    lengths = list(range(sim_from, sim_to + 1, sim_step))
-    chunks = _chunk_positions(a_contigs, lengths, sim_delta, max_chunks, rng)
 
-    histogram: Dict[int, Dict[int, int]] = {}
-    shard_cache: Dict[int, SketchShard] = {}
+def _map_chunks(
+    a_contigs,
+    b_contigs,
+    chunk_items: List[Tuple[int, int, int]],
+    percentage_identity: float,
+):
+    """Map (L, a_contig_idx, pos) chunks against the B genomes; returns
+    {chunk_index: (best_identity_int, best_b_contig_index)} for mapped
+    chunks (best-identity winner, as in processAlignments_oneRead,
+    estimateSelfSimilarity.pl:525-560)."""
+    b_index = {name: i for i, (name, _) in enumerate(b_contigs)}
     reference_size = sum(len(s) for _, s in b_contigs)
+    shard_cache: Dict[int, SketchShard] = {}
+    by_length: Dict[int, List[Tuple[int, int, int]]] = {}
+    for idx, (L, ci, pos) in enumerate(chunk_items):
+        by_length.setdefault(L, []).append((idx, ci, pos))
 
-    by_length: Dict[int, List] = {}
-    for L, ci, pos in chunks:
-        by_length.setdefault(L, []).append((ci, pos))
-
-    for L, items in by_length.items():
+    out: Dict[int, Tuple[int, int]] = {}
+    for L, items in sorted(by_length.items()):
         params = Parameters(
             kmer_size=16,
             min_read_length=L,
@@ -189,21 +189,241 @@ def run_job(
             shard_cache[w] = shard.finalize(parts)
         shard = shard_cache[w]
 
-        for ci, pos in items:
+        for idx, ci, pos in items:
             chunk = a_contigs[ci][1][pos : pos + L]
             ms = mapper_oracle.report_filter(
                 mapper_oracle.map_read(shard, params, chunk), report_all=False
             )
             if not ms:
                 continue
-            best = max(m.nuc_identity for m in ms)
-            ii = int(best + 0.5)
-            histogram.setdefault(L, {})[ii] = histogram.setdefault(L, {}).get(ii, 0) + 1
+            best = max(ms, key=lambda m: m.nuc_identity)
+            out[idx] = (
+                int(best.nuc_identity + 0.5),
+                b_index[shard.contig_names[best.ref_seqid]],
+            )
+    return out
 
+
+def _write_job_outputs(out_dir, job_index, histogram, contigs_a, contigs_b,
+                       chunks, read_results):
     os.makedirs(os.path.join(out_dir, "results"), exist_ok=True)
     with open(os.path.join(out_dir, "results", f"{job_index}.json"), "w") as f:
         json.dump({str(k): v for k, v in histogram.items()}, f)
+    # per-chunk detail (the readInfo/readResults pair of doJobI,
+    # estimateSelfSimilarity.pl:422-443) — enables template reuse
+    with open(os.path.join(out_dir, "results", f"{job_index}.reads.json"), "w") as f:
+        json.dump(
+            {
+                "contigs_a": contigs_a,
+                "contigs_b": contigs_b,
+                "chunks": [list(c) for c in chunks],
+                "read_results": {
+                    str(i): list(v) for i, v in sorted(read_results.items())
+                },
+            },
+            f,
+        )
+
+
+def run_job(
+    db_dir: str,
+    job: SelfSimJob,
+    out_dir: str,
+    job_index: int,
+    sim_from: int = SIM_SIZE_FROM,
+    sim_to: int = SIM_SIZE_TO,
+    sim_step: int = SIM_SIZE_STEP,
+    sim_delta: int = SIM_DELTA,
+    max_chunks: int = TARGET_MAX_CHUNKS,
+    percentage_identity: float = 80.0,
+):
+    """Execute one leave-one-out mapping job; writes results/<i>.json with
+    {chunkLength: {identityInt: count}} over mapped chunks, plus a
+    results/<i>.reads.json per-chunk detail file for template reuse."""
+    taxon_info = load_relevant_taxon_info(db_dir, set())
+    contigs_a_list, contigs_b_list = job_contigs(taxon_info, job)
+    a_contigs, b_contigs = _load_db_contigs(
+        db_dir, set(contigs_a_list), set(contigs_b_list)
+    )
+
+    # deterministic per-A-genome seed (the reference records srand's seed in
+    # the readInfo file for the same reproducibility, :419)
+    rng = np.random.default_rng(zlib.crc32(";".join(contigs_a_list).encode()))
+    lengths = list(range(sim_from, sim_to + 1, sim_step))
+    chunks = _chunk_positions(a_contigs, lengths, sim_delta, max_chunks, rng)
+
+    read_results = _map_chunks(a_contigs, b_contigs, chunks, percentage_identity)
+
+    histogram: Dict[int, Dict[int, int]] = {}
+    for idx, (ident, _bc) in read_results.items():
+        L = chunks[idx][0]
+        histogram.setdefault(L, {})[ident] = histogram.setdefault(L, {}).get(ident, 0) + 1
+
+    _write_job_outputs(out_dir, job_index, histogram,
+                       [n for n, _ in a_contigs], [n for n, _ in b_contigs],
+                       chunks, read_results)
     return histogram
+
+
+def _run_job_from_template(
+    db_dir: str,
+    job: SelfSimJob,
+    out_dir: str,
+    job_index: int,
+    template_reads: dict,
+    percentage_identity: float = 80.0,
+):
+    """Re-derive one job from a template job with a superset B genome set
+    (doJobIFromTemplate, estimateSelfSimilarity.pl:842-1031): chunks whose
+    template best hit lies inside the new B set keep their identity; chunks
+    that hit a removed genome are remapped against the new B set; chunks the
+    template never mapped stay unmapped. Untracked chunks fill the identity-0
+    bucket (:1006-1017)."""
+    taxon_info = load_relevant_taxon_info(db_dir, set())
+    contigs_a_list, contigs_b_list = job_contigs(taxon_info, job)
+    new_b: Set[str] = set(contigs_b_list)
+
+    t_contigs_a: List[str] = template_reads["contigs_a"]
+    t_contigs_b: List[str] = template_reads["contigs_b"]
+    assert sorted(t_contigs_a) == contigs_a_list, "template A-contig mismatch"
+    assert new_b <= set(t_contigs_b), "template B set must be a superset"
+    chunks = [tuple(c) for c in template_reads["chunks"]]
+
+    keep: Dict[int, Tuple[int, int]] = {}  # chunk idx -> (identity, b name idx)
+    remap_idx: List[int] = []
+    for si, (ident, bci) in template_reads["read_results"].items():
+        idx = int(si)
+        if t_contigs_b[bci] in new_b:
+            keep[idx] = (ident, bci)
+        else:
+            remap_idx.append(idx)
+
+    a_contigs, b_contigs = _load_db_contigs(
+        db_dir, set(contigs_a_list), new_b
+    )
+    remapped = _map_chunks(
+        a_contigs, b_contigs, [chunks[i] for i in remap_idx], percentage_identity
+    )
+
+    b_name_index = {n: i for i, (n, _) in enumerate(b_contigs)}
+    read_results: Dict[int, Tuple[int, int]] = {}
+    histogram: Dict[int, Dict[int, int]] = {}
+    a_order = [n for n, _ in a_contigs]
+    # template chunk ci indexes the template's A file order; remap against
+    # identically-ordered A contigs, so indices carry over unchanged
+    assert a_order == t_contigs_a, "A contig order differs from template"
+    for idx, (ident, bci) in keep.items():
+        read_results[idx] = (ident, b_name_index[t_contigs_b[bci]])
+    for j, idx in enumerate(remap_idx):
+        if j in remapped:
+            read_results[idx] = remapped[j]
+    for idx, (ident, _bc) in read_results.items():
+        L = chunks[idx][0]
+        histogram.setdefault(L, {})[ident] = histogram.setdefault(L, {}).get(ident, 0) + 1
+    # identity-0 fill for chunks with no tracked result
+    totals: Dict[int, int] = {}
+    for L, _ci, _pos in chunks:
+        totals[L] = totals.get(L, 0) + 1
+    tracked: Dict[int, int] = {
+        L: sum(h.values()) for L, h in histogram.items()
+    }
+    for L, n in totals.items():
+        missing = n - tracked.get(L, 0)
+        assert missing >= 0
+        if missing:
+            histogram.setdefault(L, {})[0] = histogram[L].get(0, 0) + missing
+
+    _write_job_outputs(out_dir, job_index, histogram, a_order,
+                       [n for n, _ in b_contigs], chunks, read_results)
+    return histogram
+
+
+def prepare_from_template(
+    db_dir: str,
+    out_dir: str,
+    template_db_dir: str,
+    template_out_dir: Optional[str] = None,
+    percentage_identity: float = 80.0,
+):
+    """Derive self-similarity results for a reduced DB from a template DB's
+    finished computation (mode prepareFromTemplate,
+    estimateSelfSimilarity.pl:195-385). Exact (A, B) contig-set matches copy
+    the template result; otherwise the template job with the same A set and
+    the smallest superset B is reduced via :func:`_run_job_from_template`.
+    Returns (jobs, n_copied, n_recomputed)."""
+    if template_out_dir is None:
+        template_out_dir = os.path.join(template_db_dir, "selfSimilarity")
+    if not os.path.exists(os.path.join(template_db_dir, "selfSimilarities.txt")):
+        raise RuntimeError(
+            f"Template DB {template_db_dir} does not have self-similarity results"
+        )
+    template_jobs = load_jobs(template_out_dir)
+    template_ti = load_relevant_taxon_info(template_db_dir, set())
+
+    exact: Dict[Tuple[Tuple[str, ...], Tuple[str, ...]], int] = {}
+    a_to_b: Dict[Tuple[str, ...], List[Tuple[Set[str], int]]] = {}
+    for ti_idx, tjob in enumerate(template_jobs):
+        ca, cb = job_contigs(template_ti, tjob)
+        key = (tuple(ca), tuple(cb))
+        assert key not in exact, "duplicate template computation"
+        exact[key] = ti_idx
+        a_to_b.setdefault(tuple(ca), []).append((set(cb), ti_idx))
+
+    reduced_ti = load_relevant_taxon_info(db_dir, set())
+    # validity: every reduced contig must exist in the template (:265-268)
+    template_contigs = {c for cs in template_ti.values() for c in cs}
+    for cs in reduced_ti.values():
+        for c in cs:
+            if c not in template_contigs:
+                raise RuntimeError(f"contig {c} not present in template DB")
+
+    jobs = prepare(db_dir, out_dir)
+    n_copied = n_recomputed = 0
+    for i, job in enumerate(jobs):
+        ca, cb = job_contigs(reduced_ti, job)
+        key = (tuple(ca), tuple(cb))
+        if key in exact:
+            t = exact[key]
+            os.makedirs(os.path.join(out_dir, "results"), exist_ok=True)
+            for suffix in (".json", ".reads.json"):
+                src = os.path.join(template_out_dir, "results", f"{t}{suffix}")
+                if os.path.exists(src):
+                    shutil.copy(
+                        src, os.path.join(out_dir, "results", f"{i}{suffix}")
+                    )
+            n_copied += 1
+            continue
+        # closest template: same A, superset B, fewest extra genomes
+        # (the reference's sort comparator at :359 is a no-op typo
+        # `$a <=> $a`; we implement the intended min-distance choice)
+        alternatives = [
+            (len(bset) - len(cb), t)
+            for bset, t in a_to_b.get(tuple(ca), [])
+            if set(cb) <= bset
+        ]
+        if not alternatives:
+            raise RuntimeError(
+                f"no template computation covers job {i} (A={job.a_taxon})"
+            )
+        _, t = min(alternatives)
+        reads_fn = os.path.join(template_out_dir, "results", f"{t}.reads.json")
+        if not os.path.exists(reads_fn):
+            raise RuntimeError(
+                f"template job {t} has no reads detail file ({reads_fn}); "
+                f"re-run the template computation"
+            )
+        with open(reads_fn) as f:
+            template_reads = json.load(f)
+        template_reads["read_results"] = {
+            k: tuple(v) for k, v in template_reads["read_results"].items()
+        }
+        _run_job_from_template(
+            db_dir, job, out_dir, i, template_reads, percentage_identity
+        )
+        n_recomputed += 1
+
+    collect(db_dir, out_dir)
+    return jobs, n_copied, n_recomputed
 
 
 def collect(db_dir: str, out_dir: str, output_file: Optional[str] = None):

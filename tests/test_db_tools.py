@@ -113,3 +113,53 @@ def test_self_similarity_and_classifyU(toolchain):
     genus_idents = [int(r[2]) for r in rows if r[0] == "50"]
     assert min(genus_idents) >= 80 and max(genus_idents) <= 100
     assert os.path.exists(ss + ".expectedGenomeSizes")
+
+
+def test_self_similarity_from_template(toolchain, tmp_path):
+    """prepareFromTemplate must reproduce a direct computation on the
+    reduced DB: exact (A,B) jobs are copied, superset-B jobs are reduced by
+    reusing per-chunk template results and remapping only chunks whose best
+    hit was removed (estimateSelfSimilarity.pl:195-385, 842-1031)."""
+    from metamaps_tpu.db import self_similarity as ss
+    from metamaps_tpu.sim.simulate import produce_reduced_db
+
+    root, db = toolchain
+    if not os.path.exists(os.path.join(db, "selfSimilarities.txt")):
+        assert cli_main([
+            "selfSimilarity", "--DB", db, "--simFrom", "2000", "--simTo",
+            "4000", "--simStep", "1000",
+        ]) == 0
+
+    reduced = produce_reduced_db(db, str(tmp_path / "DBred"), ["x2"])
+    out_dir = os.path.join(reduced, "selfSimilarity")
+    jobs, n_copy, n_re = ss.prepare_from_template(reduced, out_dir, db)
+    # dropping x2 removes node 501 (single child); node 50 keeps two jobs:
+    # a=500 vs B={x1} (template B was {x1,x2} -> reduced) and a=x1 vs
+    # B={500} (exact template match -> copied)
+    assert n_copy >= 1 and n_re >= 1
+    assert os.path.exists(os.path.join(reduced, "selfSimilarities.txt"))
+
+    # direct computation on the reduced DB for comparison
+    direct_dir = str(tmp_path / "ss_direct")
+    direct_jobs = ss.prepare(reduced, direct_dir)
+    by_key = {}
+    for i, j in enumerate(direct_jobs):
+        ss.run_job(reduced, j, direct_dir, i, sim_from=2000, sim_to=4000,
+                   sim_step=1000)
+        by_key[(j.node, j.child, j.a_taxon, tuple(j.b_taxa))] = i
+
+    import json
+
+    for i, j in enumerate(jobs):
+        di = by_key[(j.node, j.child, j.a_taxon, tuple(j.b_taxa))]
+        with open(os.path.join(out_dir, "results", f"{i}.json")) as f:
+            templ = json.load(f)
+        with open(os.path.join(direct_dir, "results", f"{di}.json")) as f:
+            direct = json.load(f)
+        # identical up to the identity-0 fill the template path adds for
+        # untracked chunks (doJobIFromTemplate:1006-1017 vs doJobI)
+        templ_nonzero = {
+            L: {k: v for k, v in h.items() if k != "0"} for L, h in templ.items()
+        }
+        templ_nonzero = {L: h for L, h in templ_nonzero.items() if h}
+        assert templ_nonzero == direct
