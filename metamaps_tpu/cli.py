@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 
 from .io.fasta import total_file_size
@@ -81,11 +82,55 @@ def main(argv=None):
         p_c.add_argument("--minreads", type=int, default=10000)
         p_c.add_argument("--threads", "-t", type=int, default=1)
 
+    p_sim = sub.add_parser("simulate", help="simulate reads / reduced DBs / evaluate an inference run")
+    p_sim.add_argument("--action", choices=["reads", "reducedDB", "inference", "evaluate"], required=True)
+    p_sim.add_argument("--DB", required=True)
+    p_sim.add_argument("--out", required=True, help="output prefix (reads/inference/evaluate) or directory (reducedDB)")
+    p_sim.add_argument("--nReads", type=int, default=1000)
+    p_sim.add_argument("--meanLength", type=int, default=5000)
+    p_sim.add_argument("--accuracy", type=float, default=0.88)
+    p_sim.add_argument("--seed", type=int, default=0)
+    p_sim.add_argument("--removeTaxa", default=None, help="comma-separated taxa dropped by action reducedDB")
+    p_sim.add_argument("--reads", default=None, help="FASTQ for action inference")
+    p_sim.add_argument("--truth", default=None, help="truth table for action evaluate")
+    p_sim.add_argument("--mappings", default=None, help="mappings prefix for action evaluate")
+
+    p_xr = sub.add_parser("extractReads", help="extract reads by ID list or by assigned taxon subtree")
+    p_xr.add_argument("--reads", required=True)
+    p_xr.add_argument("--ids", default=None, help="file with one read ID per line")
+    p_xr.add_argument("--r2t", default=None, help="reads2Taxon file (with --DB and --target)")
+    p_xr.add_argument("--DB", default=None)
+    p_xr.add_argument("--target", default=None, help="taxon ID whose subtree's reads to extract ('0' = unassigned)")
+    p_xr.add_argument("--mode", choices=["records", "sortedFasta", "lengthDistribution"], default="records")
+    p_xr.add_argument("--output", required=True)
+
+    p_fq = sub.add_parser("firstQuartileScore", help="first-quartile base quality of a FASTQ")
+    p_fq.add_argument("--fastq", required=True)
+
+    p_sc = sub.add_parser("shortenContigIDs", help="rewrite contig IDs as C<i>|kraken:taxid|… with a mapping table")
+    p_sc.add_argument("--input", required=True)
+    p_sc.add_argument("--output", required=True)
+    p_sc.add_argument("--mapping", required=True)
+
+    p_eg = sub.add_parser("splitEggNog", help="split a protein FASTA for annotation jobs / collect annotations")
+    p_eg.add_argument("--action", choices=["split", "submit", "collect"], required=True)
+    p_eg.add_argument("--input", required=True, help="protein FASTA (split) / ignored otherwise")
+    p_eg.add_argument("--output", required=True, help="output prefix; collect writes the merged table here")
+    p_eg.add_argument("--targetChars", type=int, default=None)
+    p_eg.add_argument("--cmd", default=None, help="annotation command template with {input}/{output}")
+
+    p_at = sub.add_parser("addTaxonIDToFasta", help="append kraken:taxid|<id>| to every contig ID")
+    p_at.add_argument("--input", required=True)
+    p_at.add_argument("--output", required=True)
+    p_at.add_argument("--taxonID", required=True)
+
     p_bdb = sub.add_parser("buildDB", help="build a database directory from annotated FASTAs")
     p_bdb.add_argument("--DB", required=True, help="output database directory")
     p_bdb.add_argument("--FASTAs", required=True, help="comma-separated annotated FASTA files")
     p_bdb.add_argument("--taxonomy", required=True, help="source NCBI taxonomy directory")
     p_bdb.add_argument("--shuffle", action="store_true", help="shuffle contig order")
+    p_bdb.add_argument("--gff", default=None, help="comma-separated GFF annotation files -> DB_annotations.txt")
+    p_bdb.add_argument("--proteins", default=None, help="comma-separated protein FASTAs -> DB_proteins.fa (deduplicated)")
 
     p_ann = sub.add_parser("annotate", help="annotate genomes with kraken:taxid contig IDs (+x pseudo-nodes)")
     p_ann.add_argument("--genomes", required=True,
@@ -196,11 +241,104 @@ def main(argv=None):
         print(write_manifest(plan, args.targetDir.rstrip("/") + ".manifest"))
         return 0
 
+    if args.command == "simulate":
+        import numpy as np
+
+        rng = np.random.default_rng(args.seed)
+        if args.action == "reads":
+            from .sim.simulate import simulate_reads, write_simulation
+
+            reads = simulate_reads(args.DB, args.nReads, rng,
+                                   mean_length=args.meanLength,
+                                   accuracy=args.accuracy)
+            write_simulation(reads, args.out)
+            print(f"{len(reads)} reads -> {args.out}.fastq / {args.out}.truth")
+        elif args.action == "reducedDB":
+            from .sim.simulate import produce_reduced_db
+
+            if not args.removeTaxa:
+                print("Please specify --removeTaxa", file=sys.stderr)
+                return 1
+            produce_reduced_db(args.DB, args.out, args.removeTaxa.split(","))
+            print(args.out)
+        elif args.action == "inference":
+            from .sim.simulate import run_inference
+
+            if not args.reads:
+                print("Please specify --reads", file=sys.stderr)
+                return 1
+            print(run_inference(args.DB, args.reads, args.out))
+        else:  # evaluate
+            from .sim.validation import evaluate_experiment
+
+            if not (args.truth and args.mappings):
+                print("Please specify --truth and --mappings", file=sys.stderr)
+                return 1
+            result = evaluate_experiment(args.DB, args.truth, args.mappings)
+            import json as _json
+
+            print(_json.dumps(result, indent=1, default=str))
+        return 0
+
+    if args.command == "extractReads":
+        from .tools.reads_util import extract_reads, reads_for_taxon
+
+        if args.ids:
+            with open(args.ids) as f:
+                ids = [l.strip() for l in f if l.strip()]
+        elif args.r2t and args.DB and args.target is not None:
+            from .taxonomy import Taxonomy
+
+            taxonomy = Taxonomy(os.path.join(args.DB, "taxonomy"))
+            ids = reads_for_taxon(args.r2t, taxonomy, args.target)
+        else:
+            print("Please specify --ids, or --r2t with --DB and --target",
+                  file=sys.stderr)
+            return 1
+        n = extract_reads(args.reads, ids, args.output, mode=args.mode)
+        print(f"{n} reads -> {args.output}")
+        return 0
+
+    if args.command == "firstQuartileScore":
+        from .tools.reads_util import first_quartile_quality
+
+        print(first_quartile_quality(args.fastq))
+        return 0
+
+    if args.command == "shortenContigIDs":
+        from .tools.misc import shorten_contig_ids
+
+        shorten_contig_ids(args.input, args.output, args.mapping)
+        return 0
+
+    if args.command == "splitEggNog":
+        from .tools import eggnog
+
+        if args.action == "split":
+            kw = {"target_chars": args.targetChars} if args.targetChars else {}
+            n = eggnog.split_fasta(args.input, args.output, **kw)
+            print(f"Done. Produced {n} files.")
+        elif args.action == "submit":
+            kw = {"cmd_template": args.cmd} if args.cmd else {}
+            scripts = eggnog.write_submit_scripts(args.output, **kw)
+            print(f"{len(scripts)} job scripts written; execute them to annotate.")
+        else:
+            print(eggnog.collect(args.output))
+        return 0
+
+    if args.command == "addTaxonIDToFasta":
+        from .tools.misc import add_taxon_id_to_fasta
+
+        add_taxon_id_to_fasta(args.input, args.output, args.taxonID)
+        return 0
+
     if args.command == "buildDB":
         from .db.build_db import build_db
 
         build_db(args.FASTAs.split(","), args.DB, args.taxonomy,
-                 shuffle_contigs=args.shuffle)
+                 shuffle_contigs=args.shuffle,
+                 gff_files=args.gff.split(",") if args.gff else None,
+                 protein_fastas=args.proteins.split(",") if args.proteins else None)
         return 0
 
     if args.command == "annotate":

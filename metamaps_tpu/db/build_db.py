@@ -74,11 +74,39 @@ def build_db(
     shuffle_contigs: bool = False,
     seed: int = 0,
     gff_files: List[str] = None,
+    protein_fastas: List[str] = None,
 ):
     """Create the DB directory. ``taxonomy_dir`` is copied and trimmed.
     When GFF files are given, DB_annotations.txt is produced for the
-    gene-level analysis."""
+    gene-level analysis; protein FASTAs are concatenated into DB_proteins.fa
+    deduplicated by short protein ID (buildDB.pl:341-382)."""
     os.makedirs(out_dir, exist_ok=True)
+
+    if protein_fastas:
+        seen_proteins = set()
+        with open(os.path.join(out_dir, "DB_proteins.fa"), "w") as pout:
+            for fn in protein_fastas:
+                with open(fn) as f:
+                    full_id, seq_parts = None, []
+
+                    def flush():
+                        if full_id is None:
+                            return
+                        short_id = full_id.split(" ", 1)[0]
+                        if short_id not in seen_proteins:
+                            seen_proteins.add(short_id)
+                            pout.write(f">{full_id}\n" + "".join(seq_parts) + "\n")
+
+                    for line in f:
+                        line = line.rstrip("\n")
+                        if not line:
+                            continue
+                        if line.startswith(">"):
+                            flush()
+                            full_id, seq_parts = line[1:], []
+                        else:
+                            seq_parts.append(line)
+                    flush()
 
     contigs = []  # (contig_id, taxon_id, seq)
     for fn in input_fastas:

@@ -125,6 +125,27 @@ class JaxMapperEngine:
             cfg.sketch_max, self.params.kmer_size,
             float(self.params.percentage_identity),
         )
+        if _PROFILE:
+            t0 = time.perf_counter()
+            reads_d = jnp.asarray(reads)
+            lens_d = jnp.asarray(lens)
+            mh_d = jnp.asarray(minhits)
+            import jax as _jax
+
+            _jax.block_until_ready(reads_d)
+            print(
+                f"PROFILE mapper_jax: upload B={b_pad} "
+                f"{time.perf_counter() - t0:.3f}s",
+                file=sys.stderr,
+            )
+            t0 = time.perf_counter()
+            out = map_batch_fused(cfg, self.device_shard, reads_d, lens_d, mh_d)
+            print(
+                f"PROFILE mapper_jax: dispatch(trace) "
+                f"{time.perf_counter() - t0:.3f}s",
+                file=sys.stderr,
+            )
+            return out
         try:
             return map_batch_fused(
                 cfg, self.device_shard, jnp.asarray(reads), jnp.asarray(lens),
@@ -160,6 +181,7 @@ class JaxMapperEngine:
                 file=sys.stderr,
             )
 
+        t_post = time.perf_counter()
         if bool(budget_ovf):
             for i in idxs:
                 results[i] = mapper_oracle.map_read(self.shard, self.params, seqs[i])
@@ -206,3 +228,9 @@ class JaxMapperEngine:
                     )
                 )
             results[i] = out
+        if _PROFILE:
+            print(
+                f"PROFILE mapper_jax: postprocess B={B} "
+                f"{time.perf_counter() - t_post:.3f}s",
+                file=sys.stderr,
+            )

@@ -73,6 +73,13 @@ def project_truth_into_db(
     def resolve(taxon: str) -> str:
         if taxon in ("0", ""):
             return "0"
+        # outdated NCBI IDs follow the merged.dmp chain first
+        # (validation.pm:75 via taxTree::findCurrentNodeID)
+        if taxonomy.merged and not taxonomy.know_node(taxon) and taxon not in mappable:
+            try:
+                taxon = taxonomy.find_current_node_id(taxon)
+            except RuntimeError:
+                pass
         if taxon in mappable:
             return taxon
         if taxon in mappable_up:

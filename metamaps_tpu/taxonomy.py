@@ -67,8 +67,30 @@ class Taxonomy:
             if n.parent_id != "1" and n.parent_id in self.nodes:
                 self.nodes[n.parent_id].children.add(n.id)
 
+        self.merged: Dict[str, str] = {}
+        fn_merged = os.path.join(directory, "merged.dmp")
+        if os.path.exists(fn_merged):
+            self.merged = read_merged(directory)
+
     def know_node(self, node_id: str) -> bool:
         return node_id in self.nodes
+
+    def find_current_node_id(self, original_id: str) -> str:
+        """Translate a possibly-outdated NCBI taxon ID to its current node by
+        following the merged.dmp chain (taxTree::findCurrentNodeID,
+        taxTree.pm:765-795). Non-numeric or '0' IDs pass through."""
+        if original_id == "0" or not original_id.isdigit():
+            return original_id
+        if original_id in self.nodes:
+            return original_id
+        running = original_id
+        while running in self.merged:
+            running = self.merged[running]
+        if running in self.nodes:
+            return running
+        raise RuntimeError(
+            f"Cannot translate ID {original_id} (running {running})"
+        )
 
     def get_node(self, node_id: str) -> TaxonNode:
         return self.nodes[node_id]
@@ -135,6 +157,28 @@ class Taxonomy:
 RELEVANT_LEVEL_NAMES = {"species", "genus", "family", "order", "phylum", "superkingdom"}
 
 _TAXON_ID_RE = re.compile(r"kraken:taxid\|(x?\d+)")
+
+
+def read_merged(directory: str) -> Dict[str, str]:
+    """Parse merged.dmp: old taxon ID -> merged-into ID
+    (taxTree::readMerged, taxTree.pm:737-763)."""
+    fn = os.path.join(directory, "merged.dmp")
+    if not os.path.exists(fn):
+        raise RuntimeError(f"File {fn} missing, but want to read merged nodes")
+    merged: Dict[str, str] = {}
+    with open(fn) as f:
+        for line in f:
+            line = line.rstrip("\r\n")
+            if not line:
+                continue
+            line = re.sub(r"\t?\|$", "", line)
+            parts = line.split("\t|\t")
+            if len(parts) != 2:
+                raise RuntimeError(f"malformed merged.dmp line: {line!r}")
+            if parts[0] in merged:
+                raise RuntimeError(f"duplicate merged.dmp entry {parts[0]}")
+            merged[parts[0]] = parts[1]
+    return merged
 
 
 def extract_taxon_id(contig_id: str) -> str:

@@ -58,14 +58,55 @@ def read_annotations(path: str):
     return per_contig, gene_info
 
 
+# emapper table column -> annotation type (geneLevelAnalysis.pl:156-168)
+_ANNOTATION_COLUMNS = [
+    ("GO_terms", "GO"),
+    ("KEGG_KOs", "KEGG"),
+    ("BiGG_reactions", "BiGG"),
+    ("OGs", "OG"),
+    ("COG_cat", "COG"),
+]
+
+
 def read_protein_annotations(path: str) -> Dict[str, Dict[str, List[str]]]:
-    """DB_proteins.faa.annotated: proteinId -> {annotationType: [values]}
-    (tab-separated: proteinId, type, value...)."""
+    """DB_proteins.faa.annotated: proteinId -> {annotationType: [values]}.
+
+    Canonical format is the headered eggNOG table (ProteinID, GO_terms,
+    KEGG_KOs, BiGG_reactions, OGs, COG_cat) produced by splitEggNog collect;
+    values are comma-separated, whitespace-stripped and deduplicated
+    (geneLevelAnalysis.pl:135-169). A headerless 3-column
+    (proteinId, type, value...) form is also accepted."""
     out: Dict[str, Dict[str, List[str]]] = {}
     if not os.path.exists(path):
         return out
     with open(path) as f:
-        for line in f:
+        first = f.readline().rstrip("\n")
+        if first.startswith("ProteinID\t"):
+            header = first.split("\t")
+            col = {name: header.index(name) for name in dict(_ANNOTATION_COLUMNS)
+                   if name in header}
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                fields = line.split("\t")
+                pid = fields[0]
+                if pid in out:
+                    raise RuntimeError(
+                        f"Protein annotation data defined more than once? {pid}"
+                    )
+                out[pid] = {}
+                for name, atype in _ANNOTATION_COLUMNS:
+                    if name not in col or col[name] >= len(fields):
+                        continue
+                    raw = fields[col[name]].replace(" ", "")
+                    if not raw:
+                        continue
+                    values = list(dict.fromkeys(raw.split(",")))
+                    out[pid][atype] = values
+            return out
+        # legacy 3-column form
+        for line in [first] + f.readlines():
             line = line.rstrip("\n")
             if not line:
                 continue

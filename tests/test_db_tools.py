@@ -163,3 +163,55 @@ def test_self_similarity_from_template(toolchain, tmp_path):
         }
         templ_nonzero = {L: h for L, h in templ_nonzero.items() if h}
         assert templ_nonzero == direct
+
+
+def test_merged_dmp_translation(toolchain, tmp_path):
+    """findCurrentNodeID semantics (taxTree.pm:737-795): outdated NCBI IDs
+    follow the merged.dmp chain; unknown IDs raise; non-numeric pass."""
+    import shutil
+
+    from metamaps_tpu.taxonomy import Taxonomy
+
+    root, db = toolchain
+    tax = str(tmp_path / "tax_merged")
+    shutil.copytree(os.path.join(db, "taxonomy"), tax)
+    with open(os.path.join(tax, "merged.dmp"), "w") as f:
+        f.write("9999\t|\t8888\t|\n")   # chain: 9999 -> 8888 -> 500
+        f.write("8888\t|\t500\t|\n")
+        f.write("7777\t|\t12345\t|\n")  # dead end (12345 not in tree)
+    t = Taxonomy(tax)
+    assert t.find_current_node_id("500") == "500"    # current -> unchanged
+    assert t.find_current_node_id("9999") == "500"   # chain followed
+    assert t.find_current_node_id("x1") == "x1"      # non-numeric pass
+    assert t.find_current_node_id("0") == "0"
+    with pytest.raises(RuntimeError):
+        t.find_current_node_id("7777")
+
+    # truth projection resolves merged IDs before mappability lookup
+    from metamaps_tpu.sim.truth import project_truth_into_db
+
+    truth = project_truth_into_db({"r1": "9999"}, t, {"500"})
+    assert truth["r1"] == "500"
+
+
+def test_builddb_protein_dedup(toolchain, tmp_path):
+    """buildDB --proteins concatenates protein FASTAs deduplicated by short
+    ID (buildDB.pl:341-382)."""
+    root, db = toolchain
+    p1 = str(tmp_path / "p1.faa")
+    p2 = str(tmp_path / "p2.faa")
+    with open(p1, "w") as f:
+        f.write(">WP_1.1 protA\nMKL\nAV\n>WP_2.1 protB\nMGG\n")
+    with open(p2, "w") as f:
+        f.write(">WP_2.1 protB dup\nMGG\n>WP_3.1 protC\nMTT\n")
+    out = str(tmp_path / "DBp")
+    assert cli_main([
+        "buildDB", "--DB", out, "--FASTAs", str(root / "annotated.fa"),
+        "--taxonomy", str(root / "tax_src"), "--proteins", f"{p1},{p2}",
+    ]) == 0
+    recs = open(os.path.join(out, "DB_proteins.fa")).read()
+    assert recs.count(">") == 3
+    assert ">WP_1.1 protA\nMKLAV\n" in recs      # sequence joined to one line
+    assert ">WP_2.1 protB\nMGG\n" in recs        # first occurrence wins
+    assert "dup" not in recs
+    assert ">WP_3.1 protC\nMTT\n" in recs

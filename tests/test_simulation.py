@@ -143,3 +143,86 @@ def test_validation_plot(sim_db, tmp_path):
     res = evaluate_experiment(db, str(root / "sim1.truth"), str(root / "inf1"))
     pdf = plot_validation_results(res, str(tmp_path / "val.pdf"), title="sim1")
     assert os.path.exists(pdf)
+
+
+def test_simulate_cli_roundtrip(sim_db, tmp_path):
+    """The `simulate` CLI covers the simulate.pl driver actions: reads ->
+    inference -> evaluate, plus reducedDB (simulate.pl:247/633/689/1966)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from metamaps_tpu.cli import main as cli_main
+
+    root, db, rng = sim_db
+    out = str(tmp_path / "cli_sim")
+    assert cli_main(["simulate", "--action", "reads", "--DB", db, "--out",
+                     out, "--nReads", "25", "--seed", "3"]) == 0
+    assert os.path.exists(out + ".fastq") and os.path.exists(out + ".truth")
+
+    inf = str(tmp_path / "cli_inf")
+    assert cli_main(["simulate", "--action", "inference", "--DB", db,
+                     "--out", inf, "--reads", out + ".fastq"]) == 0
+    assert os.path.exists(inf + ".EM.reads2Taxon")
+
+    assert cli_main(["simulate", "--action", "evaluate", "--DB", db,
+                     "--out", inf, "--truth", out + ".truth",
+                     "--mappings", inf]) == 0
+
+    red = str(tmp_path / "cli_red")
+    assert cli_main(["simulate", "--action", "reducedDB", "--DB", db,
+                     "--out", red, "--removeTaxa", "1002"]) == 0
+    ti = open(os.path.join(red, "taxonInfo.txt")).read()
+    assert "1002" not in ti and "1000" in ti
+
+    # probe: reducedDB without --removeTaxa
+    assert cli_main(["simulate", "--action", "reducedDB", "--DB", db,
+                     "--out", red + "2"]) == 1
+
+
+def test_read_tools_cli(sim_db, tmp_path):
+    """extractReads / firstQuartileScore / shortenContigIDs /
+    addTaxonIDToFasta through the CLI."""
+    from metamaps_tpu.cli import main as cli_main
+
+    root, db, rng = sim_db
+    fq = str(tmp_path / "r.fastq")
+    with open(fq, "w") as f:
+        f.write("@r1\nACGT\n+\nIIII\n@r2\nGGCC\n+\n####\n@r3\nTTAA\n+\nJJJJ\n")
+    ids = str(tmp_path / "ids.txt")
+    with open(ids, "w") as f:
+        f.write("r1\nr3\n")
+    out = str(tmp_path / "sub.fastq")
+    assert cli_main(["extractReads", "--reads", fq, "--ids", ids,
+                     "--output", out]) == 0
+    text = open(out).read()
+    assert "@r1" in text and "@r3" in text and "@r2" not in text
+
+    assert cli_main(["firstQuartileScore", "--fastq", fq]) == 0
+
+    # taxon-subtree extraction from a reads2Taxon file
+    r2t = str(tmp_path / "r.r2t")
+    with open(r2t, "w") as f:
+        f.write("r1\t1000\nr2\t0\nr3\t1001\n")
+    out2 = str(tmp_path / "sub2.fastq")
+    assert cli_main(["extractReads", "--reads", fq, "--r2t", r2t, "--DB", db,
+                     "--target", "1000", "--output", out2]) == 0
+    t2 = open(out2).read()
+    assert "@r1" in t2 and "@r2" not in t2 and "@r3" not in t2
+
+    # probe: neither --ids nor --r2t selection
+    assert cli_main(["extractReads", "--reads", fq, "--output", out2]) == 1
+
+    fa = str(tmp_path / "g.fa")
+    with open(fa, "w") as f:
+        f.write(">contigA long description\nACGTACGT\n>contigB\nGGGG\n")
+    out_fa = str(tmp_path / "g.taxed.fa")
+    assert cli_main(["addTaxonIDToFasta", "--input", fa, "--output", out_fa,
+                     "--taxonID", "562"]) == 0
+    assert "kraken:taxid|562|" in open(out_fa).read()
+
+    short_fa = str(tmp_path / "g.short.fa")
+    mapping = str(tmp_path / "g.map")
+    assert cli_main(["shortenContigIDs", "--input", out_fa, "--output",
+                     short_fa, "--mapping", mapping]) == 0
+    assert os.path.exists(mapping)

@@ -178,9 +178,15 @@ def test_reads_util_and_competitor_converters(tmp_path):
     c, phred = first_quartile_quality(str(fq))
     assert c == "!" and phred == 0
 
-    n = extract_reads(str(fq), ["b"], str(tmp_path / "sub.fa"))
+    # FASTQ input passes full records through (extractReads.pl:96-98)
+    n = extract_reads(str(fq), ["b"], str(tmp_path / "sub.fastq"))
     assert n == 1
-    assert open(tmp_path / "sub.fa").read() == ">b\nGGTT\n"
+    assert open(tmp_path / "sub.fastq").read() == "@b\nGGTT\n+\n!!II\n"
+    # sortedFasta mode converts to length-sorted FASTA (:104-110)
+    n = extract_reads(str(fq), ["a", "b"], str(tmp_path / "sub.fa"),
+                      mode="sortedFasta")
+    assert n == 2
+    assert open(tmp_path / "sub.fa").read() == ">a\nACGT\n>b\nGGTT\n"
 
     kr = tmp_path / "k.out"
     with open(kr, "w") as f:
@@ -205,3 +211,58 @@ def test_reads_util_and_competitor_converters(tmp_path):
 
     with _pytest.raises(CompetitorNotInstalled):
         run_kraken("db", "reads", "out", binary="definitely-not-a-binary")
+
+
+def test_split_eggnog_roundtrip(tmp_path):
+    """splitEggNog split -> submit -> collect (util/splitEggNog.pl): chunks
+    are record-aligned, job scripts runnable, and per-chunk emapper tables
+    merge into the DB_proteins.faa.annotated format."""
+    import subprocess
+
+    from metamaps_tpu.cli import main as cli_main
+    from metamaps_tpu.tools.gene_level import read_protein_annotations
+
+    fa = str(tmp_path / "prot.fa")
+    with open(fa, "w") as f:
+        for i in range(6):
+            f.write(f">WP_{i}.1 desc\n" + "M" * 50 + "\n")
+    out = str(tmp_path / "annot.txt")
+    assert cli_main(["splitEggNog", "--action", "split", "--input", fa,
+                     "--output", out, "--targetChars", "120"]) == 0
+    chunks = sorted((tmp_path).glob("annot.txt.split.i.*"))
+    assert len(chunks) > 1
+    # every chunk starts with a header line (record-aligned cuts)
+    for c in chunks:
+        assert open(c).readline().startswith(">")
+
+    # fake annotation command: writes an emapper-style table per chunk
+    fake = str(tmp_path / "fake_emapper.py")
+    with open(fake, "w") as f:
+        f.write("""import sys
+inp, out = sys.argv[1], sys.argv[2]
+with open(out + ".emapper.annotations", "w") as o:
+    o.write("# c1\\n# c2\\n# c3\\n")
+    o.write("#query_name\\tGO_terms\\tKEGG_KOs\\tBiGG_reactions\\tOGs\\tCOG cat\\n")
+    for line in open(inp):
+        if line.startswith(">"):
+            pid = line[1:].split()[0]
+            o.write(f"{pid}\\tGO:1\\tK1\\t\\tOG1\\tJ\\n")
+""")
+    import sys as _sys
+    assert cli_main(["splitEggNog", "--action", "submit", "--input", fa,
+                     "--output", out, "--cmd",
+                     f"{_sys.executable} {fake} {{input}} {{output}}"]) == 0
+    for script in sorted((tmp_path).glob("annot.txt.split.submit.*")):
+        subprocess.run(["bash", str(script)], check=True)
+    assert cli_main(["splitEggNog", "--action", "collect", "--input", fa,
+                     "--output", out]) == 0
+    ann = read_protein_annotations(out)
+    assert len(ann) == 6
+    assert ann["WP_0.1"] == {"GO": ["GO:1"], "KEGG": ["K1"], "OG": ["OG1"],
+                             "COG": ["J"]}
+
+    # probe: split refuses to run twice
+    import pytest
+    with pytest.raises(RuntimeError):
+        from metamaps_tpu.tools.eggnog import split_fasta
+        split_fasta(fa, out, target_chars=120)
