@@ -189,8 +189,16 @@ class JaxMapperEngine:
 
         k = self.params.kmer_size
         pi = float(self.params.percentage_identity)
+        # one vectorized acceptance pass over every candidate slot (float32
+        # narrowing identical to the scalar _acceptance; see stats fuzz)
+        nuc_all, ub_all, ok_all = stats.acceptance_vec(
+            np.asarray(shared), np.asarray(s_size)[:, None], k, pi
+        )
+        n_fallback = 0
+        t_votes = 0.0
         for r, i in enumerate(idxs):
             if s_ovf[r] or l1_ovf[r] or l2_ovf[r].any():
+                n_fallback += 1
                 results[i] = mapper_oracle.map_read(self.shard, self.params, seqs[i])
                 continue
             s = int(s_size[r])
@@ -202,13 +210,15 @@ class JaxMapperEngine:
             qst = q_strand[r, :s]
             for c in range(int(n_c[r])):
                 sh = int(shared[r, c])
-                nuc, ub, ok = _acceptance(sh, s, k, pi)
-                if not ok:
+                if not ok_all[r, c]:
                     continue
+                nuc, ub = float(nuc_all[r, c]), float(ub_all[r, c])
                 if sh > 0:
+                    tv = time.perf_counter()
                     votes, _ = mapper_oracle._strand_votes(
                         self.shard, qs, qst, s, int(opt_beg[r, c]), int(opt_end[r, c])
                     )
+                    t_votes += time.perf_counter() - tv
                     strand = 1 if votes > 0 else -1
                     pos = int(mean_pos[r, c])
                 else:
@@ -231,6 +241,7 @@ class JaxMapperEngine:
         if _PROFILE:
             print(
                 f"PROFILE mapper_jax: postprocess B={B} "
-                f"{time.perf_counter() - t_post:.3f}s",
+                f"{time.perf_counter() - t_post:.3f}s "
+                f"fallbacks={n_fallback} votes={t_votes:.3f}s",
                 file=sys.stderr,
             )

@@ -89,7 +89,10 @@ class MapKernelConfig:
             sketch_max=_round_up(n_min, 128),
             hits_max=_round_up(max(4 * n_min, 2048), 128),
             cands_max=16,
-            range_max=_round_up(2 * n_min + 128, 128),
+            # merged L1 regions can span ~2x the read length and the L2
+            # content window extends another read length, so a candidate
+            # range can hold ~3x the per-read-length minimizer count
+            range_max=_round_up(3 * n_min + 128, 128),
             alphabet_size=alphabet_size,
             l2_impl=l2_impl,
         )

@@ -56,26 +56,40 @@ def binom_quantile_complement(s: int, p: float, q: float) -> int:
 
     Mirrors boost quantile(complement(binomial(s, p), q)) under the default
     integer_round_outwards policy. Continuous extension of the binomial CDF:
-    cdf(x) = I_{p}(x+1, s-x) complement, i.e. sf(x) = I_p(x+1, s-x).
-    """
-    if p <= 0:
-        return 0
-    if p >= 1:
-        return s
-    # sf(x) is decreasing in x; boundary checks
-    sf_at_0 = float(sps.betainc(1.0, float(s), p))  # P(X >= 1) = 1-(1-p)^s
-    if q >= sf_at_0:
-        return 0
-    eps = 1e-12
+    cdf(x) = I_{p}(x+1, s-x) complement, i.e. sf(x) = I_p(x+1, s-x). Since
+    sf is decreasing in x and the result is the ceiling of the continuous
+    solution, it equals the smallest integer n with sf(n) <= q (or s when
+    none exists below s) — computed by integer bisection, ~log2(s) betainc
+    evaluations instead of a brentq root-find."""
+    return int(binom_quantile_complement_vec(np.asarray([s]), np.asarray([p]), q)[0])
 
-    def g(x):
-        return float(sps.betainc(x + 1.0, s - x, p)) - q
 
-    lo, hi = 0.0, float(s) - eps
-    if g(hi) > 0:
-        return s
-    x = spo.brentq(g, lo, hi, xtol=1e-10)
-    return int(min(s, math.ceil(x - 1e-9)))
+def binom_quantile_complement_vec(s, p, q: float):
+    """Vectorized :func:`binom_quantile_complement` over arrays s, p."""
+    s = np.asarray(s, np.int64)
+    p = np.asarray(p, np.float64)
+    s_b, p_b = np.broadcast_arrays(s, p)
+    s_b = s_b.astype(np.int64)
+    searchable = (p_b > 0) & (p_b < 1) & (s_b > 0)
+    s_safe = np.maximum(s_b, 1)
+    p_safe = np.where(searchable, p_b, 0.5)
+
+    # smallest n in [0, s-1] with I_p(n+1, s-n) <= q, else s
+    lo = np.zeros_like(s_b)
+    hi = s_b.copy()
+    while True:
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi) // 2
+        sf = sps.betainc(mid + 1.0, np.maximum(s_safe - mid, 1), p_safe)
+        cond = sf <= q
+        hi = np.where(active & cond, mid, hi)
+        lo = np.where(active & ~cond, mid + 1, lo)
+    out = lo
+    out = np.where(p_b <= 0, 0, out)
+    out = np.where(p_b >= 1, s_b, out)
+    return out
 
 
 def md_lower_bound(d: float, s: int, k: int, ci: float) -> float:
@@ -85,6 +99,50 @@ def md_lower_bound(d: float, s: int, k: int, ci: float) -> float:
     x = binom_quantile_complement(s, md2j(d, k), q2)
     jaccard = float(_f32(_f32(x) / _f32(s)))
     return j2md(jaccard, k)
+
+
+# --- vectorized float32-exact variants (same narrowing points) -------------
+
+
+def j2md_vec(j, k: int):
+    """Vector j2md: float32 in/out, float64 log intermediate."""
+    jf = np.asarray(j, np.float32)
+    j64 = jf.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        md = ((-1.0 / k) * np.log(2.0 * j64 / (1.0 + j64))).astype(np.float32)
+    md = np.where(jf == 0, np.float32(1.0), md)
+    md = np.where(jf == 1, np.float32(0.0), md)
+    return md
+
+
+def md2j_vec(d, k: int):
+    """Vector md2j: k*d multiplied in float32 first, as in the C++."""
+    kd = np.float32(k) * np.asarray(d, np.float32)
+    jac = 1.0 / (2.0 * np.exp(kd.astype(np.float64)) - 1.0)
+    return jac.astype(np.float32)
+
+
+def md_lower_bound_vec(d, s, k: int, ci: float):
+    q2 = (1.0 - float(_f32(ci))) / 2.0
+    x = binom_quantile_complement_vec(s, md2j_vec(d, k).astype(np.float64), q2)
+    jaccard = x.astype(np.float32) / np.asarray(s, np.float32)
+    return j2md_vec(jaccard, k)
+
+
+def acceptance_vec(shared, s, k: int, pi: float):
+    """Vectorized doL2Mapping acceptance (computeMap.hpp:404-415): returns
+    (nucIdentity f32, nucIdentityUpperBound f32, accepted bool) arrays.
+    Entries with s == 0 are marked not accepted."""
+    shared = np.asarray(shared, np.int64)
+    s = np.asarray(s, np.int64)
+    s_safe = np.maximum(s, 1)
+    jac = shared.astype(np.float32) / s_safe.astype(np.float32)
+    mash = j2md_vec(jac, k)
+    mash_lb = md_lower_bound_vec(mash, s_safe, k, 0.9)
+    nuc = (np.float32(100) * (np.float32(1) - mash)).astype(np.float32)
+    ub = (np.float32(100) * (np.float32(1) - mash_lb)).astype(np.float32)
+    ok = (ub.astype(np.float64) >= pi) & (s > 0)
+    return nuc, ub, ok
 
 
 def estimate_minimum_hits(s: int, k: int, perc_identity: float) -> int:

@@ -81,3 +81,28 @@ def test_likelihood_observed_set_sizes():
     assert abs(best - s * e_int / e_union) <= 1
     tot = sum(stats.likelihood_observed_set_sizes(k, n_kmers, identity, s, i) for i in range(s + 1))
     assert abs(tot - 1.0) < 1e-6
+
+
+def test_acceptance_vec_matches_scalar():
+    """Vectorized acceptance statistics must be bit-identical to the scalar
+    float32-narrowed path (and the bisection quantile must equal the
+    continuized boost semantics)."""
+    import numpy as np
+
+    from metamaps_tpu import stats
+
+    rng = np.random.default_rng(4)
+    ss = rng.integers(1, 800, 300)
+    sh = np.minimum(rng.integers(0, 800, 300), ss)
+    nuc_v, ub_v, ok_v = stats.acceptance_vec(sh, ss, 16, 80.0)
+    for i in range(len(ss)):
+        shared, s = int(sh[i]), int(ss[i])
+        mash = stats.j2md(np.float32(1.0) * shared / s, 16)
+        mash_lb = stats.md_lower_bound(mash, s, 16, 0.9)
+        nuc = float(np.float32(100 * (1 - np.float32(mash))))
+        ub = float(np.float32(100 * (1 - np.float32(mash_lb))))
+        assert nuc == float(nuc_v[i]) and ub == float(ub_v[i])
+        assert (ub >= 80.0) == bool(ok_v[i])
+    # s == 0 rows are never accepted
+    _, _, ok0 = stats.acceptance_vec(np.array([0]), np.array([0]), 16, 80.0)
+    assert not ok0[0]
