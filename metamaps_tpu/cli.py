@@ -95,6 +95,13 @@ def main(argv=None):
     p_sim.add_argument("--truth", default=None, help="truth table for action evaluate")
     p_sim.add_argument("--mappings", default=None, help="mappings prefix for action evaluate")
 
+    p_tr = sub.add_parser("buildTruth", help="derive a per-read truth table from read IDs + an accession->taxon table")
+    p_tr.add_argument("--reads", required=True, help="FASTQ/FASTA whose read IDs encode source accessions")
+    p_tr.add_argument("--accessions", required=True, help="accession<TAB>taxonID table")
+    p_tr.add_argument("--pattern", default=None, help="regex whose group 1 extracts the accession from a read ID")
+    p_tr.add_argument("--DB", default=None, help="project truth into this DB's taxonomy (truth within the DB)")
+    p_tr.add_argument("--output", required=True)
+
     p_xr = sub.add_parser("extractReads", help="extract reads by ID list or by assigned taxon subtree")
     p_xr.add_argument("--reads", required=True)
     p_xr.add_argument("--ids", default=None, help="file with one read ID per line")
@@ -278,6 +285,30 @@ def main(argv=None):
             import json as _json
 
             print(_json.dumps(result, indent=1, default=str))
+        return 0
+
+    if args.command == "buildTruth":
+        from .io.fasta import read_sequences
+        from .sim.truth import (
+            project_truth_into_db,
+            read_accession_table,
+            truth_from_read_headers,
+            write_truth,
+        )
+
+        table = read_accession_table(args.accessions)
+        rids = [name for name, _ in read_sequences(args.reads)]
+        truth = truth_from_read_headers(rids, table, pattern=args.pattern)
+        if args.DB:
+            from .engine.em import load_relevant_taxon_info
+            from .taxonomy import Taxonomy
+
+            taxonomy = Taxonomy(os.path.join(args.DB, "taxonomy"))
+            mappable = set(load_relevant_taxon_info(args.DB, set()))
+            truth = project_truth_into_db(truth, taxonomy, mappable)
+        write_truth(truth, args.output)
+        n_hit = sum(1 for t in truth.values() if t != "0")
+        print(f"{len(truth)} reads ({n_hit} resolved) -> {args.output}")
         return 0
 
     if args.command == "extractReads":

@@ -226,3 +226,33 @@ def test_read_tools_cli(sim_db, tmp_path):
     assert cli_main(["shortenContigIDs", "--input", out_fa, "--output",
                      short_fa, "--mapping", mapping]) == 0
     assert os.path.exists(mapping)
+
+
+def test_build_truth_cli(sim_db, tmp_path):
+    """buildTruth derives truth from read headers via an accession table and
+    optionally projects it into a DB (truthForHMP/Zymo/CAMI pattern)."""
+    from metamaps_tpu.cli import main as cli_main
+
+    root, db, rng = sim_db
+    fq = str(tmp_path / "t.fastq")
+    with open(fq, "w") as f:
+        f.write("@NC_0001.1_read1\nACGT\n+\nIIII\n")
+        f.write("@NC_0002.1_read7\nGGCC\n+\nIIII\n")
+        f.write("@unknownacc_read2\nTTAA\n+\nIIII\n")
+    acc = str(tmp_path / "acc.tsv")
+    with open(acc, "w") as f:
+        f.write("NC_0001.1\t1000\nNC_0002.1\t7777777\n")
+    out = str(tmp_path / "truth.tsv")
+    assert cli_main(["buildTruth", "--reads", fq, "--accessions", acc,
+                     "--output", out]) == 0
+    rows = dict(l.rstrip("\n").split("\t") for l in open(out))
+    assert rows == {"NC_0001.1_read1": "1000", "NC_0002.1_read7": "7777777",
+                    "unknownacc_read2": "0"}
+
+    # projection into the DB: 7777777 is not in the DB taxonomy -> 0
+    out2 = str(tmp_path / "truth_db.tsv")
+    assert cli_main(["buildTruth", "--reads", fq, "--accessions", acc,
+                     "--DB", db, "--output", out2]) == 0
+    rows2 = dict(l.rstrip("\n").split("\t") for l in open(out2))
+    assert rows2["NC_0001.1_read1"] == "1000"
+    assert rows2["NC_0002.1_read7"] == "0"
