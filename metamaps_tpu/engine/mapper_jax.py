@@ -1,10 +1,23 @@
 """Batched device mapping engine.
 
 Drives the kernels in metamaps_tpu.ops.batch_map over length-bucketed read
-batches; acceptance statistics (CI bounds) and strand votes run on host
-(cached scipy / tiny per-accepted-candidate work). Reads that overflow the
-static kernel shapes fall back to the serial oracle — outputs are identical
-to :mod:`metamaps_tpu.engine.mapper_oracle` either way.
+batches in a two-phase pipeline:
+
+  phase 1  one dispatch per read chunk: sketch + L1 + per-candidate
+           occurrence counts (map_batch_stage1);
+  phase 2  per chunk, the (small) stage-1 outputs are fetched and every
+           real candidate is routed to an L2 kernel compiled for the
+           smallest sufficient range capacity (batch_l2_gather) — the L2
+           event matmul costs O(range^2 * sketch), so sizing the compiled
+           shape to the candidate instead of the worst case is a 4-15x
+           saving for typical reads;
+  phase 3  L2 slab outputs are fetched and assembled; acceptance
+           statistics (CI bounds) and strand votes run on host.
+
+All dispatches of a phase are enqueued before the first fetch of the next,
+so device compute overlaps transfers and host post-processing. Reads that
+overflow the static kernel shapes fall back to the serial oracle — outputs
+are identical to :mod:`metamaps_tpu.engine.mapper_oracle` either way.
 
 Set METAMAPS_TPU_PROFILE=1 for per-batch stage timings on stderr (the
 analog of the reference's ENABLE_TIME_PROFILE_L1_L2,
@@ -12,6 +25,7 @@ map_parameters.hpp:13 / computeMap.hpp:230-263).
 """
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 import time
@@ -47,8 +61,27 @@ def _acceptance(shared: int, s: int, k: int, pi: float) -> Tuple[float, float, b
     return nuc, ub, ub >= pi
 
 
+def _l2_range_buckets(range_max: int) -> List[int]:
+    """Geometric range-capacity ladder up to the config's worst case."""
+    rs: List[int] = []
+    r = 512
+    while r < range_max:
+        rs.append(r)
+        r *= 2
+    rs.append(range_max)
+    return rs
+
+
+def _l2_slab_k(r: int) -> int:
+    """Candidates per L2 dispatch for range capacity r (bigger ranges do
+    more work per slot, so fewer slots per dispatch bounds padding waste)."""
+    return max(8, min(64, 32768 // r))
+
+
 class JaxMapperEngine:
     """Maps batches of reads against one shard on the default JAX device."""
+
+    CHUNK = 128  # reads per stage-1 dispatch
 
     def __init__(self, shard, params, read_len_buckets: Sequence[int] = (2048, 4096, 8192, 16384, 32768, 65536)):
         self.shard = shard
@@ -83,28 +116,43 @@ class JaxMapperEngine:
             else:
                 by_bucket.setdefault(b, []).append(i)
 
-        # pipeline: enqueue every chunk of a bucket on the device (JAX async
-        # dispatch) before the first fetch, so device compute overlaps
-        # transfers and host post-processing
+        # phase 1: enqueue every stage-1 chunk before the first fetch
+        stage1 = []
         for bucket, idxs in by_bucket.items():
             cfg = self._config_for(bucket)
-            chunks = [idxs[i : i + self.CHUNK]
-                      for i in range(0, len(idxs), self.CHUNK)]
-            pending = [
-                (chunk, self._dispatch_bucket(cfg, bucket, chunk, seqs))
-                for chunk in chunks
-            ]
-            cfg = self._configs[bucket]  # may have fallen back from pallas
-            for chunk, out in pending:
-                self._collect_bucket(cfg, bucket, chunk, seqs, results, out)
+            for i in range(0, len(idxs), self.CHUNK):
+                chunk = idxs[i : i + self.CHUNK]
+                stage1.append(
+                    (bucket, chunk, self._dispatch_stage1(cfg, bucket, chunk, seqs))
+                )
+
+        # phase 2: fetch stage-1 per chunk, route candidates, enqueue L2
+        staged = []
+        for bucket, chunk, (out, lens_d) in stage1:
+            import jax
+
+            t0 = time.perf_counter()
+            host = jax.device_get(out)
+            if _PROFILE:
+                print(
+                    f"PROFILE mapper_jax: stage1 fetch bucket={bucket} "
+                    f"B={len(chunk)} {time.perf_counter() - t0:.3f}s",
+                    file=sys.stderr,
+                )
+            cfg = self._configs[bucket]
+            fallback, slabs = self._dispatch_l2(cfg, bucket, host, out, lens_d, chunk)
+            staged.append((bucket, chunk, host, fallback, slabs))
+
+        # phase 3: fetch L2 slabs and assemble results
+        for bucket, chunk, host, fallback, slabs in staged:
+            self._collect(self._configs[bucket], bucket, chunk, seqs, results,
+                          host, fallback, slabs)
         return results
 
-    CHUNK = 128  # reads per device dispatch
-
-    def _dispatch_bucket(self, cfg, bucket, idxs, seqs):
+    def _dispatch_stage1(self, cfg, bucket, idxs, seqs):
         import jax.numpy as jnp
 
-        from ..ops.batch_map import map_batch_fused
+        from ..ops.batch_map import map_batch_stage1
 
         B = len(idxs)
         # round the batch up to a power of two (capped at CHUNK) so XLA
@@ -125,79 +173,139 @@ class JaxMapperEngine:
             cfg.sketch_max, self.params.kmer_size,
             float(self.params.percentage_identity),
         )
+        t0 = time.perf_counter()
+        reads_d = jnp.asarray(reads)
+        lens_d = jnp.asarray(lens)
+        mh_d = jnp.asarray(minhits)
+        out = map_batch_stage1(cfg, self.device_shard, reads_d, lens_d, mh_d)
         if _PROFILE:
-            t0 = time.perf_counter()
-            reads_d = jnp.asarray(reads)
-            lens_d = jnp.asarray(lens)
-            mh_d = jnp.asarray(minhits)
-            import jax as _jax
-
-            _jax.block_until_ready(reads_d)
             print(
-                f"PROFILE mapper_jax: upload B={b_pad} "
+                f"PROFILE mapper_jax: stage1 dispatch B={b_pad} "
                 f"{time.perf_counter() - t0:.3f}s",
                 file=sys.stderr,
             )
-            t0 = time.perf_counter()
-            out = map_batch_fused(cfg, self.device_shard, reads_d, lens_d, mh_d)
+        return out, lens_d
+
+    def _dispatch_l2(self, cfg, bucket, host, dev, lens_d, chunk):
+        """Route each real candidate to the smallest sufficient L2 range
+        bucket and enqueue the slab dispatches. Returns (fallback[B] bool,
+        [(coords, cfg_r, device_out), ...])."""
+        import jax.numpy as jnp
+
+        from ..ops.batch_map import batch_l2_gather
+
+        (q_hash, q_strand, s_size, s_ovf, c_seq, c_start, c_end, n_c,
+         l1_ovf, n_occ) = host
+        dq_hash, _, ds_size = dev[0], dev[1], dev[2]
+        B = len(chunk)
+        fallback = np.zeros(B, bool)
+        r_buckets = _l2_range_buckets(cfg.range_max)
+        per_r: Dict[int, List[Tuple[int, int]]] = {}
+        for r in range(B):
+            if s_ovf[r] or l1_ovf[r]:
+                fallback[r] = True
+                continue
+            for c in range(int(n_c[r])):
+                if c_seq[r, c] < 0:
+                    continue
+                no = int(n_occ[r, c])
+                if no > cfg.range_max:
+                    # candidate range exceeds even the worst-case capacity
+                    fallback[r] = True
+                    break
+                rr = next(x for x in r_buckets if x >= no)
+                per_r.setdefault(rr, []).append((r, c))
+
+        t0 = time.perf_counter()
+        slabs = []
+        n_dispatched = 0
+        for rr in sorted(per_r):
+            coords = [(r, c) for (r, c) in per_r[rr] if not fallback[r]]
+            if not coords:
+                continue
+            K = _l2_slab_k(rr)
+            cfg_r = dataclasses.replace(cfg, range_max=rr)
+            for g0 in range(0, len(coords), K):
+                grp = coords[g0 : g0 + K]
+                rows = np.zeros(K, np.int32)
+                cs = np.full(K, -1, np.int32)
+                cst = np.zeros(K, np.int32)
+                cen = np.zeros(K, np.int32)
+                for t, (r, c) in enumerate(grp):
+                    rows[t] = r
+                    cs[t] = c_seq[r, c]
+                    cst[t] = c_start[r, c]
+                    cen[t] = c_end[r, c]
+                args = (self.device_shard, dq_hash, ds_size, lens_d,
+                        jnp.asarray(rows), jnp.asarray(cs), jnp.asarray(cst),
+                        jnp.asarray(cen))
+                try:
+                    out = batch_l2_gather(cfg_r, *args)
+                except Exception:
+                    if cfg_r.l2_path == "pallas":
+                        # pallas unavailable on this backend: permanently
+                        # fall back to the scatter path for this bucket
+                        cfg = dataclasses.replace(cfg, l2_impl="scatter")
+                        self._configs[bucket] = cfg
+                        cfg_r = dataclasses.replace(cfg_r, l2_impl="scatter")
+                        out = batch_l2_gather(cfg_r, *args)
+                    else:
+                        raise
+                slabs.append((grp, out))
+                n_dispatched += len(grp)
+        if _PROFILE:
             print(
-                f"PROFILE mapper_jax: dispatch(trace) "
+                f"PROFILE mapper_jax: l2 dispatch B={B} cands={n_dispatched} "
+                f"slabs={len(slabs)} "
+                f"buckets={sorted((rr, len(v)) for rr, v in per_r.items())} "
                 f"{time.perf_counter() - t0:.3f}s",
                 file=sys.stderr,
             )
-            return out
-        try:
-            return map_batch_fused(
-                cfg, self.device_shard, jnp.asarray(reads), jnp.asarray(lens),
-                jnp.asarray(minhits),
-            )
-        except Exception:
-            if cfg.l2_path == "pallas":
-                # pallas unavailable on this backend: permanently fall back
-                # to the scatter path for this bucket
-                import dataclasses
+        return fallback, slabs
 
-                cfg = dataclasses.replace(cfg, l2_impl="scatter")
-                self._configs[bucket] = cfg
-                return map_batch_fused(
-                    cfg, self.device_shard, jnp.asarray(reads),
-                    jnp.asarray(lens), jnp.asarray(minhits),
-                )
-            raise
-
-    def _collect_bucket(self, cfg, bucket, idxs, seqs, results, out):
+    def _collect(self, cfg, bucket, idxs, seqs, results, host, fallback, slabs):
         import jax
 
+        (q_hash, q_strand, s_size, s_ovf, c_seq, c_start, c_end, n_c,
+         l1_ovf, n_occ) = host
         B = len(idxs)
+        C = cfg.cands_max
         lens = np.array([len(seqs[i]) for i in idxs], np.int32)
+
+        shared = np.zeros((B, C), np.int32)
+        mean_pos = np.zeros((B, C), np.int32)
+        opt_beg = np.zeros((B, C), np.int32)
+        opt_end = np.zeros((B, C), np.int32)
+        l2_ovf = np.zeros((B, C), bool)
         t_fetch = time.perf_counter()
-        (q_hash, q_strand, s_size, s_ovf, c_seq, n_c, l1_ovf,
-         shared, mean_pos, opt_beg, opt_end, l2_ovf, budget_ovf) = jax.device_get(out)
+        for grp, out in slabs:
+            sh, mp, ob, oe, ov = jax.device_get(out)
+            for t, (r, c) in enumerate(grp):
+                shared[r, c] = sh[t]
+                mean_pos[r, c] = mp[t]
+                opt_beg[r, c] = ob[t]
+                opt_end[r, c] = oe[t]
+                l2_ovf[r, c] = ov[t]
         if _PROFILE:
             print(
                 f"PROFILE mapper_jax: bucket={bucket} B={B} "
-                f"fetch+wait={time.perf_counter() - t_fetch:.3f}s "
-                f"cands={int((np.asarray(c_seq) >= 0).sum())}",
+                f"l2 fetch+wait={time.perf_counter() - t_fetch:.3f}s "
+                f"cands={int((np.asarray(c_seq)[:B] >= 0).sum())}",
                 file=sys.stderr,
             )
 
         t_post = time.perf_counter()
-        if bool(budget_ovf):
-            for i in idxs:
-                results[i] = mapper_oracle.map_read(self.shard, self.params, seqs[i])
-            return
-
         k = self.params.kmer_size
         pi = float(self.params.percentage_identity)
         # one vectorized acceptance pass over every candidate slot (float32
         # narrowing identical to the scalar _acceptance; see stats fuzz)
         nuc_all, ub_all, ok_all = stats.acceptance_vec(
-            np.asarray(shared), np.asarray(s_size)[:, None], k, pi
+            shared, np.asarray(s_size)[:B, None], k, pi
         )
         n_fallback = 0
         t_votes = 0.0
         for r, i in enumerate(idxs):
-            if s_ovf[r] or l1_ovf[r] or l2_ovf[r].any():
+            if fallback[r] or l2_ovf[r].any():
                 n_fallback += 1
                 results[i] = mapper_oracle.map_read(self.shard, self.params, seqs[i])
                 continue

@@ -579,6 +579,58 @@ def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def map_batch_stage1(cfg: MapKernelConfig, shard: DeviceShard, reads, read_lens,
+                     minhits_table):
+    """Sketch + L1 + per-candidate occurrence counts in one dispatch.
+
+    The occurrence count n_occ[B, C] (number of shard minimizers inside each
+    candidate's L2 content window) lets the host route each candidate to an
+    L2 kernel compiled for the smallest sufficient range capacity — the
+    event matmul cost scales with range_max^2, so typical candidates are
+    4-15x cheaper than the worst-case shape (cf. the temporal equivalent:
+    the reference sizes its L2 window from the actual candidate span,
+    computeMap.hpp:460-538).
+
+    Returns (q_hash [B,S], q_strand [B,S], sketch_size [B], sketch_ovf [B],
+    cand_seq/cand_start/cand_end [B,C], n_cands [B], l1_ovf [B], n_occ [B,C]).
+    """
+    q_hash, q_strand, s_size, s_ovf = batch_sketch(cfg, reads, read_lens)
+    c_seq, c_start, c_end, n_c, l1_ovf = batch_l1(
+        cfg, shard, q_hash, s_size, read_lens, minhits_table
+    )
+
+    def occ_one(cs, cst, cen, rlen):
+        valid = cs >= 0
+        csq = jnp.maximum(cs, 0)
+        lo = shard.contig_offsets[csq]
+        hi = shard.contig_offsets[csq + 1]
+        beg0 = _bisect_range(shard.wpos, lo, hi, cst)
+        last_end = _bisect_range(shard.wpos, lo, hi, cen + rlen)
+        return jnp.where(valid, last_end - beg0, 0).astype(jnp.int32)
+
+    n_occ = jax.vmap(
+        lambda cs, cst, cen, rlen: jax.vmap(
+            lambda a, b, c: occ_one(a, b, c, rlen)
+        )(cs, cst, cen)
+    )(c_seq, c_start, c_end, read_lens)
+    return q_hash, q_strand, s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batch_l2_gather(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
+                    sketch_size, read_lens, rows, c_seq, c_start, c_end):
+    """L2 scoring of a host-routed candidate slab: gathers the per-read
+    sketch rows on device (q_hash etc. stay device-resident between the
+    stage-1 and stage-2 dispatches) and scores with this cfg's (smaller)
+    range capacity. ``rows`` [K] indexes into the stage-1 batch."""
+    rows_c = jnp.maximum(rows, 0)
+    return batch_l2_slab(
+        cfg, shard, q_hash[rows_c], sketch_size[rows_c], read_lens[rows_c],
+        c_seq, c_start, c_end,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def map_batch_fused(cfg: MapKernelConfig, shard: DeviceShard, reads, read_lens,
                     minhits_table):
     """The full mapping pipeline for one read batch in a single dispatch:
