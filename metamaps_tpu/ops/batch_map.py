@@ -44,6 +44,33 @@ from .winnow import winnow_dense
 
 I32_MAX = np.int32(2**31 - 1)
 U32_MAX = np.uint32(0xFFFFFFFF)
+I32_MIN = np.int32(-(2**31))
+
+# max supported (minimumHits - 1) shift in the L1 run detector; reads whose
+# minhits exceed this fall back to the serial oracle (never seen in practice)
+MINHITS_SHIFT_MAX = 32
+
+
+def build_uniq_tables(hash_sorted: np.ndarray, nb_bits: int = None):
+    """Host-side construction of the unique-hash table + radix directory
+    for :class:`DeviceShard`. Returns (uniq_hash [U], uniq_start [U+1],
+    bucket_start [2^nb_bits + 1], bucket_shift, bisect_steps)."""
+    hs = np.asarray(hash_sorted, dtype=np.uint32)
+    uniq, first_idx = np.unique(hs, return_index=True)
+    uniq_start = np.concatenate([first_idx, [hs.shape[0]]]).astype(np.int32)
+    if nb_bits is None:
+        n_u = max(1, len(uniq))
+        nb_bits = min(22, max(8, int(np.ceil(np.log2(n_u))) + 2))
+    shift = 32 - nb_bits
+    bucket_start = np.searchsorted(
+        uniq >> np.uint32(shift), np.arange((1 << nb_bits) + 1, dtype=np.int64)
+    ).astype(np.int32)
+    max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
+    steps = int(np.ceil(np.log2(max_bucket + 1))) + 1 if max_bucket else 1
+    if len(uniq) == 0:  # degenerate empty shard
+        uniq = np.zeros(1, np.uint32)
+        uniq_start = np.zeros(2, np.int32)
+    return uniq, uniq_start, bucket_start, shift, steps
 
 
 @dataclass(frozen=True)
@@ -112,13 +139,22 @@ def _round_up(x, m):
         "hash_pos",
         "strand_pos",
         "contig_offsets",
+        "uniq_hash",
+        "uniq_start",
+        "bucket_start",
     ],
-    meta_fields=["freq_threshold"],
+    meta_fields=["freq_threshold", "bucket_shift", "bisect_steps"],
 )
 @dataclass
 class DeviceShard:
     """Shard arrays resident on device (HBM); pytree with the frequency
-    threshold as static metadata."""
+    threshold as static metadata.
+
+    The unique-hash table (uniq_hash/uniq_start) plus the radix bucket
+    directory (bucket_start over the hash's top bits) make an L1 lookup cost
+    2 directory gathers + bisect_steps bisection gathers + 3 table gathers —
+    instead of 2 full binary searches over the raw index (TPU gathers are
+    scalarized, so every saved step is ~10 ns/query)."""
 
     hash_sorted: jnp.ndarray  # [M] uint32
     seqid_byhash: jnp.ndarray  # [M] int32
@@ -127,10 +163,18 @@ class DeviceShard:
     hash_pos: jnp.ndarray  # [M] uint32 (position order)
     strand_pos: jnp.ndarray  # [M] int8 (position order)
     contig_offsets: jnp.ndarray  # [n_contigs+1] int32
+    uniq_hash: jnp.ndarray  # [U] uint32 (sorted unique index hashes)
+    uniq_start: jnp.ndarray  # [U+1] int32 (CSR offsets into hash order)
+    bucket_start: jnp.ndarray  # [NB+1] int32 (directory over top hash bits)
     freq_threshold: int
+    bucket_shift: int  # hash >> shift = bucket id
+    bisect_steps: int  # bisection iterations within a bucket
 
     @classmethod
     def from_host(cls, shard):
+        uniq, uniq_start, bucket_start, shift, steps = build_uniq_tables(
+            np.asarray(shard.hash_sorted, dtype=np.uint32)
+        )
         return cls(
             hash_sorted=jnp.asarray(shard.hash_sorted),
             seqid_byhash=jnp.asarray(shard.seqid_byhash),
@@ -139,7 +183,12 @@ class DeviceShard:
             hash_pos=jnp.asarray(shard.hash_pos_order),
             strand_pos=jnp.asarray(shard.strand),
             contig_offsets=jnp.asarray(shard.contig_offsets.astype(np.int32)),
+            uniq_hash=jnp.asarray(uniq),
+            uniq_start=jnp.asarray(uniq_start),
+            bucket_start=jnp.asarray(bucket_start),
             freq_threshold=int(shard.freq_threshold),
+            bucket_shift=shift,
+            bisect_steps=steps,
         )
 
 
@@ -154,35 +203,45 @@ def batch_sketch(cfg: MapKernelConfig, reads, read_lens):
 
     Returns q_hash [B, S] (sorted unique, padded U32_MAX), q_strand [B, S],
     sketch_size [B], sketch_overflow [B] bool.
+
+    Gather-free: the sort carries the strand as a payload (lax.sort with
+    extra operands is a sorting network — no scalarized index gathers), and
+    the unique-compaction is a second stable sort by the duplicate mask.
     """
     k, w = cfg.kmer_size, cfg.window_size
     S = cfg.sketch_max
+    B = reads.shape[0]
 
     def one(seq, rlen):
         n_kmers_valid = rlen - k + 1
         emit, h, p, st, m, _ = winnow_dense(seq, k, w, cfg.alphabet_size, n_kmers_valid)
-        key = jnp.where(emit, h, U32_MAX)
-        # sort by (hash, window pos): first occurrence of each hash leads
-        order = jnp.argsort(key.astype(jnp.uint32), stable=True)
-        hs = key[order]
-        sts = st[order]
-        uniq = jnp.concatenate([jnp.array([True]), hs[1:] != hs[:-1]])
-        uniq = uniq & (hs != U32_MAX)
-        n_unique = uniq.sum()
-        # compact the unique entries to the front: slot t takes the t-th
-        # unique element (searchsorted over the running unique count — a
-        # [S]-sized gather instead of a second full argsort)
-        cum = jnp.cumsum(uniq.astype(jnp.int32))
-        src = jnp.searchsorted(cum, jnp.arange(1, S + 1, dtype=jnp.int32),
-                               side="left")
-        src_c = jnp.minimum(src, hs.shape[0] - 1)
-        slot_valid = jnp.arange(S) < n_unique
-        hs_c = jnp.where(slot_valid, hs[src_c], U32_MAX)
-        st_c = sts[src_c]
-        overflow = n_unique > S
-        return hs_c, st_c, jnp.minimum(n_unique, S).astype(jnp.int32), overflow
+        return jnp.where(emit, h, U32_MAX), st
 
-    return jax.vmap(one)(reads, read_lens)
+    key, st = jax.vmap(one)(reads, read_lens)
+    nw = key.shape[1]
+    wid = jnp.broadcast_to(jnp.arange(nw, dtype=jnp.int32), (B, nw))
+    # sort by (hash, window pos): first occurrence of each hash leads
+    ks, _, sts = jax.lax.sort(
+        (key, wid, st.astype(jnp.int32)), dimension=1, num_keys=2
+    )
+    uniq = (ks != U32_MAX) & jnp.concatenate(
+        [jnp.ones((B, 1), bool), ks[:, 1:] != ks[:, :-1]], axis=1
+    )
+    n_unique = uniq.sum(axis=1).astype(jnp.int32)
+    # compact unique entries to the front: stable sort by the duplicate mask
+    # (preserves hash order among uniques)
+    _, ks2, sts2 = jax.lax.sort(
+        ((~uniq).astype(jnp.int32), ks, sts),
+        dimension=1, num_keys=1, is_stable=True,
+    )
+    if nw < S:  # tiny read bucket: fewer windows than sketch slots
+        ks2 = jnp.pad(ks2, ((0, 0), (0, S - nw)), constant_values=U32_MAX)
+        sts2 = jnp.pad(sts2, ((0, 0), (0, S - nw)))
+    slot_valid = jnp.arange(S)[None, :] < n_unique[:, None]
+    hs_c = jnp.where(slot_valid, ks2[:, :S], U32_MAX)
+    st_c = jnp.where(slot_valid, sts2[:, :S], 0).astype(jnp.int8)
+    overflow = n_unique > S
+    return hs_c, st_c, jnp.minimum(n_unique, S), overflow
 
 
 # ---------------------------------------------------------------------------
@@ -201,82 +260,163 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
 
     Returns (cand_seq, cand_start, cand_end) [B, C] int32 (padded -1),
     n_cands [B], overflow [B] bool.
+
+    TPU formulation (semantically identical to computeL1CandidateRegions,
+    computeMap.hpp:346-386, and bit-checked against the serial oracle):
+
+    - hash lookup = radix-directory bisection in the unique-hash table
+      (2 + bisect_steps + 3 gathers/query instead of two full binary
+      searches — gathers are the scalarized cost on TPU);
+    - CSR hit expansion = a merge-via-sort: run-start markers and hit slots
+      are co-sorted, run payloads (table start / CSR offset, both
+      nondecreasing) are spread to slots with running maxima, and the slots
+      are extracted with one stable sort — no batched searchsorted;
+    - the run-of-minimumHits detector selects the (m-1)-shifted neighbor via
+      a one-hot sum over static shifts (m <= MINHITS_SHIFT_MAX, else the
+      read is flagged for host fallback);
+    - overlap-merge bookkeeping uses a segmented running max (contig-id
+      segments) instead of index gathers, and the per-region reduction is a
+      one-hot masked min/max over the C candidate slots.
     """
-    H, C = cfg.hits_max, cfg.cands_max
+    H, C, S = cfg.hits_max, cfg.cands_max, cfg.sketch_max
+    B = q_hash.shape[0]
     thr = shard.freq_threshold if freq_threshold is None else freq_threshold
+    U = shard.uniq_hash.shape[0]
 
-    def one(qh, s, rlen):
-        start = jnp.searchsorted(shard.hash_sorted, qh, side="left")
-        end = jnp.searchsorted(shard.hash_sorted, qh, side="right")
-        count = (end - start).astype(jnp.int32)
-        valid_q = qh != U32_MAX
-        count = jnp.where(valid_q & (count < thr), count, 0)
+    # ---- lookup: bucket directory + bisection over unique hashes --------
+    b = (q_hash >> shard.bucket_shift).astype(jnp.int32)
+    lo = shard.bucket_start[b]
+    hi = shard.bucket_start[b + 1]
 
-        offsets = jnp.cumsum(count)
-        total = offsets[-1]
-        overflow = total > H
-        t = jnp.arange(H, dtype=jnp.int32)
-        j = jnp.searchsorted(offsets, t, side="right")
-        j_c = jnp.minimum(j, count.shape[0] - 1)
-        prev_off = jnp.where(j_c > 0, offsets[jnp.maximum(j_c - 1, 0)], 0)
-        idx = start[j_c].astype(jnp.int32) + (t - prev_off)
-        hit_valid = t < total
-        idx = jnp.where(hit_valid, idx, 0)
-        h_seq = jnp.where(hit_valid, shard.seqid_byhash[idx], I32_MAX)
-        h_pos = jnp.where(hit_valid, shard.wpos_byhash[idx], I32_MAX)
+    def bisect_body(_, lh):
+        lo_, hi_ = lh
+        mid = (lo_ + hi_) // 2
+        v = shard.uniq_hash[jnp.minimum(mid, U - 1)]
+        go = v < q_hash
+        lo2 = jnp.where((lo_ < hi_) & go, mid + 1, lo_)
+        hi2 = jnp.where((lo_ < hi_) & ~go, mid, hi_)
+        return lo2, hi2
 
-        # sort hits by (seqid, wpos)
-        h_seq, h_pos = jax.lax.sort((h_seq, h_pos), num_keys=2)
+    lo, hi = jax.lax.fori_loop(0, shard.bisect_steps, bisect_body, (lo, hi))
+    ic = jnp.minimum(lo, U - 1)
+    found = (lo < U) & (shard.uniq_hash[ic] == q_hash)
+    start = jnp.where(found, shard.uniq_start[ic], 0).astype(jnp.int32)
+    count = jnp.where(
+        found, shard.uniq_start[jnp.minimum(ic + 1, U)] - start, 0
+    ).astype(jnp.int32)
+    valid_q = q_hash != U32_MAX
+    count = jnp.where(valid_q & (count < thr), count, 0)
 
-        m = jnp.maximum(minhits_table[s], 1)
-        i = jnp.arange(H, dtype=jnp.int32)
-        j2 = jnp.minimum(i + m - 1, H - 1)
-        seq_i, pos_i = h_seq, h_pos
-        seq_j = h_seq[j2]
-        pos_j = h_pos[j2]
-        in_range = (i + m - 1) < H
-        cand = (
-            in_range
-            & (seq_i != I32_MAX)
-            & (seq_j == seq_i)
-            & ((pos_j - pos_i) < rlen)
+    # ---- CSR expansion to H hit slots via merge-sort ---------------------
+    offsets = jnp.cumsum(count, axis=1)
+    total = offsets[:, -1]
+    overflow = total > H
+    prev = offsets - count
+    # run markers sort just before their first slot (type key 0 < 1);
+    # zero-count runs are pushed past every slot value
+    run_val = jnp.where(count > 0, prev, H + 1)
+    t = jnp.arange(H, dtype=jnp.int32)
+    m_val = jnp.concatenate([run_val, jnp.broadcast_to(t, (B, H))], axis=1)
+    m_typ = jnp.concatenate(
+        [jnp.zeros((B, S), jnp.int32), jnp.ones((B, H), jnp.int32)], axis=1
+    )
+    p_start = jnp.concatenate(
+        [jnp.where(count > 0, start, -1), jnp.full((B, H), -1, jnp.int32)], axis=1
+    )
+    p_prev = jnp.concatenate(
+        [jnp.where(count > 0, prev, -1), jnp.full((B, H), -1, jnp.int32)], axis=1
+    )
+    _, styp, ps, pp = jax.lax.sort(
+        (m_val, m_typ, p_start, p_prev), dimension=1, num_keys=2
+    )
+    # spread run payloads to their slots: both are nondecreasing over
+    # nonzero runs, so a running max is an exact fill-forward
+    fstart = jax.lax.cummax(ps, axis=1)
+    fprev = jax.lax.cummax(pp, axis=1)
+    # extract slot rows (in slot order) with one stable sort
+    _, fstart, fprev = jax.lax.sort(
+        (1 - styp, fstart, fprev), dimension=1, num_keys=1, is_stable=True
+    )
+    fstart, fprev = fstart[:, :H], fprev[:, :H]
+    hit_valid = t[None, :] < total[:, None]
+    idx = jnp.where(hit_valid, fstart + (t[None, :] - fprev), 0)
+    h_seq = jnp.where(hit_valid, shard.seqid_byhash[idx], I32_MAX)
+    h_pos = jnp.where(hit_valid, shard.wpos_byhash[idx], I32_MAX)
+
+    # ---- sort hits by (seqid, wpos) --------------------------------------
+    h_seq, h_pos = jax.lax.sort((h_seq, h_pos), dimension=1, num_keys=2)
+
+    # ---- run-of-minimumHits candidate detection --------------------------
+    m = jnp.maximum(minhits_table[sketch_size], 1).astype(jnp.int32)  # [B]
+    d = m - 1
+    m_ovf = d >= MINHITS_SHIFT_MAX
+    seq_j = jnp.full((B, H), I32_MAX, jnp.int32)
+    pos_j = jnp.full((B, H), I32_MAX, jnp.int32)
+    for dd in range(MINHITS_SHIFT_MAX):
+        sel = (d == dd)[:, None]
+        if dd == 0:
+            sj, pj = h_seq, h_pos
+        else:
+            fill = jnp.full((B, dd), I32_MAX, jnp.int32)
+            sj = jnp.concatenate([h_seq[:, dd:], fill], axis=1)
+            pj = jnp.concatenate([h_pos[:, dd:], fill], axis=1)
+        seq_j = jnp.where(sel, sj, seq_j)
+        pos_j = jnp.where(sel, pj, pos_j)
+    # I32_MAX padding makes the out-of-range/seq-change checks implicit
+    cand = (
+        (h_seq != I32_MAX)
+        & (seq_j == h_seq)
+        & ((pos_j - h_pos) < read_lens[:, None])
+    )
+    c_start = jnp.maximum(0, pos_j - read_lens[:, None] + 1)
+    c_end = h_pos
+
+    # ---- overlap merge via segmented running max -------------------------
+    # prev candidate in the same contig has the max c_end so far (hits are
+    # (seq,pos)-sorted, so c_end is nondecreasing within a contig run)
+    def seg_comb(a, bb):
+        sa, va = a
+        sb, vb = bb
+        return sb, jnp.where(sa == sb, jnp.maximum(va, vb), vb)
+
+    _, seg_max = jax.lax.associative_scan(
+        seg_comb, (h_seq, jnp.where(cand, c_end, I32_MIN)), axis=1
+    )
+    prev_seg = jnp.concatenate(
+        [jnp.full((B, 1), -1, jnp.int32), h_seq[:, :-1]], axis=1
+    )
+    prev_end = jnp.concatenate(
+        [jnp.full((B, 1), I32_MIN, jnp.int32), seg_max[:, :-1]], axis=1
+    )
+    merged_into_prev = cand & (prev_seg == h_seq) & (prev_end >= c_start)
+    new_region = cand & ~merged_into_prev
+
+    rid = jnp.cumsum(new_region.astype(jnp.int32), axis=1) - 1
+    n_regions = jnp.where(cand.any(axis=1), rid[:, -1] + 1, 0)
+    region_overflow = n_regions > C
+
+    # ---- per-region reduction: one-hot over the C slots ------------------
+    r_seq = jnp.full((B, C), -1, jnp.int32)
+    r_start = jnp.zeros((B, C), jnp.int32)
+    r_end = jnp.zeros((B, C), jnp.int32)
+    for c in range(C):
+        mask = cand & (rid == c)
+        any_c = mask.any(axis=1)
+        r_seq = r_seq.at[:, c].set(
+            jnp.where(any_c, jnp.max(jnp.where(mask, h_seq, -1), axis=1), -1)
         )
-        c_start = jnp.maximum(0, pos_j - rlen + 1)
-        c_end = pos_i
-
-        # overlap merge: nearest previous candidate via running max index
-        marked = jnp.where(cand, i, -1)
-        prev_incl = jax.lax.cummax(marked)
-        prev_excl = jnp.concatenate([jnp.array([-1], jnp.int32), prev_incl[:-1]])
-        pe = jnp.maximum(prev_excl, 0)
-        has_prev = prev_excl >= 0
-        same_seq = seq_i[pe] == seq_i
-        # previous region's end = previous member's c_end (ends nondecreasing)
-        prev_end = c_end[pe]
-        merged_into_prev = cand & has_prev & same_seq & (prev_end >= c_start)
-        new_region = cand & ~merged_into_prev
-
-        rid = jnp.cumsum(new_region.astype(jnp.int32)) - 1
-        rid_m = jnp.where(cand, rid, C)  # members only; non-members -> bucket C
-        n_regions = jnp.where(cand.any(), rid[-1] + 1, 0)
-        region_overflow = n_regions > C
-        rid_c = jnp.minimum(rid_m, C)
-
-        r_seq = jax.ops.segment_max(
-            jnp.where(cand, seq_i, -1), rid_c, num_segments=C + 1
-        )[:C]
-        r_start = jax.ops.segment_min(
-            jnp.where(cand, c_start, I32_MAX), rid_c, num_segments=C + 1
-        )[:C]
-        r_end = jax.ops.segment_max(
-            jnp.where(cand, c_end, -1), rid_c, num_segments=C + 1
-        )[:C]
-        n_r = jnp.minimum(n_regions, C).astype(jnp.int32)
-        valid_r = jnp.arange(C) < n_r
-        r_seq = jnp.where(valid_r, r_seq, -1)
-        return r_seq, r_start, r_end, n_r, overflow | region_overflow
-
-    return jax.vmap(one)(q_hash, sketch_size, read_lens)
+        r_start = r_start.at[:, c].set(
+            jnp.where(
+                any_c,
+                jnp.min(jnp.where(mask, c_start, I32_MAX), axis=1),
+                0,
+            )
+        )
+        r_end = r_end.at[:, c].set(
+            jnp.where(any_c, jnp.max(jnp.where(mask, c_end, -1), axis=1), 0)
+        )
+    n_r = jnp.minimum(n_regions, C).astype(jnp.int32)
+    return r_seq, r_start, r_end, n_r, overflow | region_overflow | m_ovf
 
 
 # ---------------------------------------------------------------------------

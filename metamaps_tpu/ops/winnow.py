@@ -193,13 +193,20 @@ def winnow_np(seq: np.ndarray, k: int, w: int, alphabet_size: int = 4):
 
 
 def upper_jax(seq):
-    lut = jnp.asarray(_UPPER_LUT)
-    return lut[seq]
+    # arithmetic instead of a 256-entry LUT: byte gathers are scalarized on
+    # TPU (~10 ns/element) while compares/selects run on the VPU
+    return jnp.where((seq >= 97) & (seq < 123), seq - 32, seq)
 
 
 def revcomp_jax(seq):
-    lut = jnp.asarray(_RC_LUT)
-    return lut[seq][::-1]
+    A, T, C, G = 65, 84, 67, 71
+    r = jnp.where(
+        seq == A, jnp.uint8(T),
+        jnp.where(seq == T, jnp.uint8(A),
+                  jnp.where(seq == C, jnp.uint8(G),
+                            jnp.where(seq == G, jnp.uint8(C), seq))),
+    )
+    return r[::-1]
 
 
 def _lt(a, b):
@@ -217,13 +224,15 @@ def _sel(cond, a, b):
     return tuple(jnp.where(cond, x, y) for x, y in zip(a, b))
 
 
-def _rightmost_windowed_argmin(key, inv, pos, w: int):
+def _rightmost_windowed_argmin(key, inv, pos, w: int, strand=None):
     """Sliding-window min over windows of size w with rightmost tie-break.
 
     key: [n] uint32 canonical hashes; inv: [n] uint32 1 where the position is
     invalid (symmetric k-mer — must never win against a valid one); pos: [n]
-    int32. Returns (min_key, min_inv, min_pos) per window, shape [n-w+1].
-    Two-pass block prefix/suffix scan (O(n)), 32-bit lanes only.
+    int32; strand: optional [n] int8 payload carried with the winner.
+    Returns (min_key, min_inv, min_pos[, min_strand]) per window, shape
+    [n-w+1]. Two-pass block prefix/suffix scan (O(n)), 32-bit lanes only,
+    gather-free (payloads ride the scan selections).
     """
     n = key.shape[0]
     nb = -(-n // w)
@@ -231,7 +240,10 @@ def _rightmost_windowed_argmin(key, inv, pos, w: int):
     keyp = jnp.pad(key, (0, pad), constant_values=UINT32_MAX)
     invp = jnp.pad(inv, (0, pad), constant_values=1)
     posp = jnp.pad(pos, (0, pad), constant_values=0)
-    kb, ib, pb = (x.reshape(nb, w) for x in (keyp, invp, posp))
+    arrs = [keyp, invp, posp]
+    if strand is not None:
+        arrs.append(jnp.pad(strand, (0, pad), constant_values=0))
+    blocks = tuple(x.reshape(nb, w) for x in arrs)
 
     def combine_prefix(a, b):
         # scan left-to-right; b is later in sequence and wins ties
@@ -242,18 +254,17 @@ def _rightmost_windowed_argmin(key, inv, pos, w: int):
         # which must win ties; b replaces only when strictly smaller
         return _sel(_lt((b[0], b[1]), (a[0], a[1])), b, a)
 
-    pre = jax.lax.associative_scan(combine_prefix, (kb, ib, pb), axis=1)
+    pre = jax.lax.associative_scan(combine_prefix, blocks, axis=1)
     suf_f = jax.lax.associative_scan(
-        combine_flipped, (kb[:, ::-1], ib[:, ::-1], pb[:, ::-1]), axis=1
+        combine_flipped, tuple(x[:, ::-1] for x in blocks), axis=1
     )
     suf = tuple(x[:, ::-1] for x in suf_f)
     pre = tuple(x.reshape(-1) for x in pre)
     suf = tuple(x.reshape(-1) for x in suf)
 
     nw = n - w + 1
-    j = jnp.arange(nw)
     s = tuple(x[:nw] for x in suf)
-    e = tuple(x[j + w - 1] for x in pre)
+    e = tuple(x[w - 1 : w - 1 + nw] for x in pre)
     # prefix part covers the later positions → wins ties
     return _sel(_leq((e[0], e[1]), (s[0], s[1])), e, s)
 
@@ -290,21 +301,22 @@ def winnow_dense(seq, k: int, w: int, alphabet_size: int = 4, n_kmers_valid=None
     inv = (~valid).astype(jnp.uint32)
     pos = jnp.arange(n, dtype=jnp.int32)
 
-    _, min_inv, m = _rightmost_windowed_argmin(canon, inv, pos, w)
+    min_key, min_inv, m, min_strand = _rightmost_windowed_argmin(
+        canon, inv, pos, w, strand
+    )
     nw = n - w + 1
     evaluated = valid[w - 1:] & (min_inv == 0)
 
-    # previous evaluated window index for each window; lax.cummax lowers to
+    # m (the deque front) is nondecreasing across windows, so the previous
+    # evaluated window's m is a gather-free running max; lax.cummax lowers to
     # a single native HLO (associative_scan at this length explodes XLA
     # compile time: 450s at n=2e6)
     j = jnp.arange(nw, dtype=jnp.int32)
-    marked = jnp.where(evaluated, j, jnp.int32(-1))
-    prev_incl = jax.lax.cummax(marked)
-    prev_excl = jnp.concatenate([jnp.array([-1], jnp.int32), prev_incl[:-1]])
-    prev_m = jnp.where(prev_excl >= 0, m[jnp.maximum(prev_excl, 0)], jnp.int32(-1))
-    emit = evaluated & ((prev_excl < 0) | (m != prev_m))
+    prev_incl = jax.lax.cummax(jnp.where(evaluated, m, jnp.int32(-1)))
+    prev_m = jnp.concatenate([jnp.array([-1], jnp.int32), prev_incl[:-1]])
+    emit = evaluated & (m != prev_m)
 
-    return emit, canon[m].astype(jnp.uint32), j, strand[m], m, evaluated
+    return emit, min_key.astype(jnp.uint32), j, min_strand, m, evaluated
 
 
 @partial(jax.jit, static_argnums=(1, 2, 3))

@@ -52,7 +52,7 @@ def sharded_em_step(mesh, read_of_line, taxon_of_line, mapq, invloc, f, n_reads)
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_tax = int(f.shape[0])
@@ -73,7 +73,7 @@ def sharded_em_step(mesh, read_of_line, taxon_of_line, mapq, invloc, f, n_reads)
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     import jax.numpy as jnp
 

@@ -20,7 +20,14 @@ from typing import List
 import numpy as np
 
 from ..engine.index import SketchShard
-from ..ops.batch_map import DeviceShard, MapKernelConfig, batch_l1, batch_l2_slab, batch_sketch
+from ..ops.batch_map import (
+    DeviceShard,
+    MapKernelConfig,
+    batch_l1,
+    batch_l2_slab,
+    batch_sketch,
+    build_uniq_tables,
+)
 
 
 def partition_contigs(shard: SketchShard, n_parts: int) -> List[SketchShard]:
@@ -87,6 +94,32 @@ def stack_shards(parts: List[SketchShard]):
         "contig_offsets": [],
         "freq_threshold": [],
     }
+    # unique-hash tables with a COMMON directory width across shards (the
+    # bucket_shift/bisect_steps are static metadata shared by every device)
+    uniq_parts = []
+    nb_bits = min(
+        22, max(8, int(np.ceil(np.log2(max(1, m_max)))) + 2)
+    )
+    steps_common = 1
+    for p in parts:
+        hs_pad = np.full(m_max, np.uint32(0xFFFFFFFF), np.uint32)
+        hs_pad[: p.n_minimizers] = p.hash_sorted
+        uniq, uniq_start, bucket_start, shift, steps = build_uniq_tables(
+            hs_pad, nb_bits=nb_bits
+        )
+        steps_common = max(steps_common, steps)
+        uniq_parts.append((uniq, uniq_start, bucket_start))
+    u_max = max(len(u) for u, _, _ in uniq_parts)
+    u_hash, u_start, b_start = [], [], []
+    for (uniq, uniq_start, bucket_start), p in zip(uniq_parts, parts):
+        u_hash.append(pad1(uniq, u_max, np.uint32(0xFFFFFFFF)))
+        us = np.full(u_max + 1, uniq_start[-1], np.int32)
+        us[: len(uniq_start)] = uniq_start
+        u_start.append(us)
+        # directory end indices clamp to this shard's unique count
+        bs = np.minimum(bucket_start, np.int32(len(uniq)))
+        b_start.append(bs)
+
     for p in parts:
         arrs["hash_sorted"].append(pad1(p.hash_sorted, m_max, np.uint32(0xFFFFFFFF)))
         arrs["seqid_byhash"].append(pad1(p.seqid_byhash, m_max, np.int32(2**31 - 1)))
@@ -99,7 +132,13 @@ def stack_shards(parts: List[SketchShard]):
         co[: len(p.contig_offsets)] = p.contig_offsets.astype(np.int32)
         arrs["contig_offsets"].append(co)
         arrs["freq_threshold"].append(np.int32(min(p.freq_threshold, 2**31 - 1)))
-    return {k: jnp.asarray(np.stack(v)) for k, v in arrs.items()}
+    arrs["uniq_hash"] = u_hash
+    arrs["uniq_start"] = u_start
+    arrs["bucket_start"] = b_start
+    out = {k: jnp.asarray(np.stack(v)) for k, v in arrs.items()}
+    out["bucket_shift"] = 32 - nb_bits
+    out["bisect_steps"] = steps_common
+    return out
 
 
 def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
@@ -115,13 +154,14 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     ax_shard, ax_data = mesh.axis_names
 
     def local(hash_sorted, seqid_byhash, wpos_byhash, wpos, hash_pos, strand_pos,
-              contig_offsets, freq_thr, reads_l, lens_l, minhits):
+              contig_offsets, uniq_hash, uniq_start, bucket_start, freq_thr,
+              reads_l, lens_l, minhits):
         # leading shard axis of size 1 inside the shard_map body
         shard = DeviceShard(
             hash_sorted=hash_sorted[0],
@@ -131,7 +171,12 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             hash_pos=hash_pos[0],
             strand_pos=strand_pos[0],
             contig_offsets=contig_offsets[0],
+            uniq_hash=uniq_hash[0],
+            uniq_start=uniq_start[0],
+            bucket_start=bucket_start[0],
             freq_threshold=0,  # unused; traced override below
+            bucket_shift=stacked["bucket_shift"],
+            bisect_steps=stacked["bisect_steps"],
         )
         q_hash, q_strand, s_size, _ = batch_sketch(cfg, reads_l, lens_l)
         c_seq, c_start, c_end, n_c, ovf = batch_l1(
@@ -159,17 +204,19 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
         mesh=mesh,
         in_specs=(
             P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
-            P(ax_shard), P(ax_shard), P(ax_shard),
+            P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
+            P(ax_shard),
             P(ax_data), P(ax_data), P(),
         ),
         out_specs=(P(None, ax_data), P(None, ax_data), P(None, ax_data)),
-        check_rep=False,
+        check_vma=False,
     )
     import jax
 
     return jax.jit(fn)(
         stacked["hash_sorted"], stacked["seqid_byhash"], stacked["wpos_byhash"],
         stacked["wpos"], stacked["hash_pos"], stacked["strand_pos"],
-        stacked["contig_offsets"], stacked["freq_threshold"].reshape(-1, 1),
+        stacked["contig_offsets"], stacked["uniq_hash"], stacked["uniq_start"],
+        stacked["bucket_start"], stacked["freq_threshold"].reshape(-1, 1),
         reads, read_lens, minhits_table,
     )
