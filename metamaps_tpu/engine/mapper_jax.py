@@ -127,12 +127,13 @@ class JaxMapperEngine:
                 )
 
         # phase 2: fetch stage-1 per chunk, route candidates, enqueue L2
+        # (q_hash/q_strand stay device-only — strand votes run on device)
         staged = []
         for bucket, chunk, (out, lens_d) in stage1:
             import jax
 
             t0 = time.perf_counter()
-            host = jax.device_get(out)
+            host = jax.device_get(out[2:])
             if _PROFILE:
                 print(
                     f"PROFILE mapper_jax: stage1 fetch bucket={bucket} "
@@ -194,9 +195,8 @@ class JaxMapperEngine:
 
         from ..ops.batch_map import batch_l2_gather
 
-        (q_hash, q_strand, s_size, s_ovf, c_seq, c_start, c_end, n_c,
-         l1_ovf, n_occ) = host
-        dq_hash, _, ds_size = dev[0], dev[1], dev[2]
+        (s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ) = host
+        dq_hash, dq_strand, ds_size = dev[0], dev[1], dev[2]
         B = len(chunk)
         fallback = np.zeros(B, bool)
         r_buckets = _l2_range_buckets(cfg.range_max)
@@ -219,12 +219,15 @@ class JaxMapperEngine:
         t0 = time.perf_counter()
         slabs = []
         n_dispatched = 0
+        s_host = np.asarray(s_size)
         for rr in sorted(per_r):
             coords = [(r, c) for (r, c) in per_r[rr] if not fallback[r]]
             if not coords:
                 continue
+            # sort by sketch size so slabs are s-homogeneous, letting the
+            # sketch-column trim bite on slabs of short reads
+            coords.sort(key=lambda rc: int(s_host[rc[0]]))
             K = _l2_slab_k(rr)
-            cfg_r = dataclasses.replace(cfg, range_max=rr)
             for g0 in range(0, len(coords), K):
                 grp = coords[g0 : g0 + K]
                 rows = np.zeros(K, np.int32)
@@ -236,9 +239,18 @@ class JaxMapperEngine:
                     cs[t] = c_seq[r, c]
                     cst[t] = c_start[r, c]
                     cen[t] = c_end[r, c]
-                args = (self.device_shard, dq_hash, ds_size, lens_d,
-                        jnp.asarray(rows), jnp.asarray(cs), jnp.asarray(cst),
-                        jnp.asarray(cen))
+                max_s = max(int(s_host[r]) for r, _ in grp)
+                sc = next(
+                    (x for x in (256, 512, 1024) if x >= max_s and x < cfg.sketch_max),
+                    cfg.sketch_max,
+                )
+                cfg_r = dataclasses.replace(
+                    cfg, range_max=rr, sketch_cols=sc,
+                    event_cap=min(2 * rr, ((rr + rr // 4 + 127) // 128) * 128),
+                )
+                args = (self.device_shard, dq_hash, dq_strand, ds_size,
+                        lens_d, jnp.asarray(rows), jnp.asarray(cs),
+                        jnp.asarray(cst), jnp.asarray(cen))
                 try:
                     out = batch_l2_gather(cfg_r, *args)
                 except Exception:
@@ -266,26 +278,26 @@ class JaxMapperEngine:
     def _collect(self, cfg, bucket, idxs, seqs, results, host, fallback, slabs):
         import jax
 
-        (q_hash, q_strand, s_size, s_ovf, c_seq, c_start, c_end, n_c,
-         l1_ovf, n_occ) = host
+        (s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ) = host
         B = len(idxs)
         C = cfg.cands_max
         lens = np.array([len(seqs[i]) for i in idxs], np.int32)
 
         shared = np.zeros((B, C), np.int32)
         mean_pos = np.zeros((B, C), np.int32)
-        opt_beg = np.zeros((B, C), np.int32)
-        opt_end = np.zeros((B, C), np.int32)
+        votes_arr = np.zeros((B, C), np.int32)
         l2_ovf = np.zeros((B, C), bool)
         t_fetch = time.perf_counter()
-        for grp, out in slabs:
-            sh, mp, ob, oe, ov = jax.device_get(out)
+        # ONE device_get for every slab of this chunk: each fetch call is a
+        # full tunnel round trip (~30 ms), so per-slab fetches would dominate
+        fetched = jax.device_get([out for _, out in slabs])
+        for (grp, _), res in zip(slabs, fetched):
+            sh, mp, ob, oe, ov, vt = res
             for t, (r, c) in enumerate(grp):
                 shared[r, c] = sh[t]
                 mean_pos[r, c] = mp[t]
-                opt_beg[r, c] = ob[t]
-                opt_end[r, c] = oe[t]
-                l2_ovf[r, c] = ov[t]
+                votes_arr[r, c] = vt[t]
+                l2_ovf[r, c] = bool(ov[t])
         if _PROFILE:
             print(
                 f"PROFILE mapper_jax: bucket={bucket} B={B} "
@@ -314,20 +326,13 @@ class JaxMapperEngine:
                 results[i] = []
                 continue
             out: List[ReadMapping] = []
-            qs = q_hash[r, :s]
-            qst = q_strand[r, :s]
             for c in range(int(n_c[r])):
                 sh = int(shared[r, c])
                 if not ok_all[r, c]:
                     continue
                 nuc, ub = float(nuc_all[r, c]), float(ub_all[r, c])
                 if sh > 0:
-                    tv = time.perf_counter()
-                    votes, _ = mapper_oracle._strand_votes(
-                        self.shard, qs, qst, s, int(opt_beg[r, c]), int(opt_end[r, c])
-                    )
-                    t_votes += time.perf_counter() - tv
-                    strand = 1 if votes > 0 else -1
+                    strand = 1 if votes_arr[r, c] > 0 else -1
                     pos = int(mean_pos[r, c])
                 else:
                     strand = -1

@@ -88,6 +88,12 @@ class MapKernelConfig:
     l2_matmul: bool = False  # legacy flag: selects 'matmul' when l2_impl empty
     l2_impl: str = ""  # 'pallas' | 'scatter' | 'matmul' ('' -> from l2_matmul)
     l2_interpret: bool = False  # pallas interpreter mode (CPU testing)
+    # matmul-path shape trims (0 = untrimmed). sketch_cols caps the scored
+    # query-rank columns (exact when every slab read has s <= sketch_cols);
+    # event_cap compacts dead chain-event columns (exact when live events
+    # fit, else the candidate is flagged for host fallback)
+    sketch_cols: int = 0
+    event_cap: int = 0
 
     @property
     def l2_path(self) -> str:
@@ -441,7 +447,14 @@ def _bisect_range(arr, lo, hi, val, side_right=False):
 
 
 def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
-    """Event/grid construction for one candidate, shared by all L2 paths."""
+    """Event/grid construction for one candidate, shared by all L2 paths.
+
+    Gather-free (TPU gathers are scalarized): the occurrence window is a
+    dynamic_slice + realignment roll; the previous-same-hash chain links come
+    from a payload-carrying (hash, wpos) sort; query ranks and membership
+    come from a merge-via-sort of the (sorted) sketch with the (sorted)
+    occurrence hashes. Event ORDER differs from the reference formulation —
+    all downstream paths treat events as an unordered sum."""
     k, w = cfg.kmer_size, cfg.window_size
     R = cfg.range_max
     S = cfg.sketch_max
@@ -459,11 +472,26 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
         overflow = n_occ > R
         n_occ_c = jnp.minimum(n_occ, R)
 
-        occ_idx = beg0 + jnp.arange(R, dtype=jnp.int32)
+        # contiguous occurrence window as a slice (clamped start realigned
+        # with a roll) instead of a scalarized [R] gather
+        M = shard.wpos.shape[0]
+        if M < R:
+            wp = jnp.concatenate(
+                [shard.wpos, jnp.full(R - M, I32_MAX, shard.wpos.dtype)]
+            )
+            hp = jnp.concatenate(
+                [shard.hash_pos, jnp.full(R - M, U32_MAX, shard.hash_pos.dtype)]
+            )
+            start2 = jnp.minimum(beg0, 0)
+        else:
+            wp, hp = shard.wpos, shard.hash_pos
+            start2 = jnp.minimum(beg0, M - R)
+        shift = beg0 - start2
         occ_v = jnp.arange(R) < n_occ_c
-        occ_idx_c = jnp.where(occ_v, occ_idx, 0)
-        occ_w = jnp.where(occ_v, shard.wpos[occ_idx_c], I32_MAX)
-        occ_h = jnp.where(occ_v, shard.hash_pos[occ_idx_c], U32_MAX)
+        occ_w = jnp.roll(jax.lax.dynamic_slice(wp, (start2,), (R,)), -shift)
+        occ_h = jnp.roll(jax.lax.dynamic_slice(hp, (start2,), (R,)), -shift)
+        occ_w = jnp.where(occ_v, occ_w, I32_MAX)
+        occ_h = jnp.where(occ_v, occ_h, U32_MAX)
 
         empty = n_occ_c <= 0
         p0 = jnp.where(empty, 0, occ_w[0])
@@ -478,34 +506,60 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
         b_r = jnp.where(occ_v, jnp.minimum(next_w - 1, I32_MAX - 1), -2)
         a_r = jnp.where(occ_v, occ_w - L + 1, -1)
 
-        # previous same-hash occurrence via (hash, wpos) sort
-        order = jnp.argsort(occ_h, stable=True)
-        # stable sort by hash keeps wpos order within equal hashes
-        h_sorted = occ_h[order]
-        same_prev = jnp.concatenate(
-            [jnp.array([False]), h_sorted[1:] == h_sorted[:-1]]
+        # (hash, wpos)-sorted occurrences, intervals riding as payloads;
+        # padding (U32_MAX, I32_MAX) sorts last, so sorted slot t is a real
+        # occurrence iff t < n_occ
+        h_srt, _, a_srt, b_srt = jax.lax.sort(
+            (occ_h, occ_w, a_r, b_r), num_keys=2
         )
-        prev_sorted_idx = jnp.concatenate([jnp.array([0], jnp.int32), order[:-1]])
-        # chain event for sorted slot t (occurrence order[t]) with previous
-        # same-hash occurrence prev_sorted_idx[t]:
-        chain_valid = same_prev & occ_v[order]
-        chain_a = a_r[order]  # a of the later occurrence
-        chain_b = b_r[prev_sorted_idx]  # b of the earlier occurrence
-        chain_valid = chain_valid & (chain_a <= chain_b)
+        srt_v = occ_v  # same count, sorted to the front
+        same_prev = jnp.concatenate(
+            [jnp.zeros(1, bool), h_srt[1:] == h_srt[:-1]]
+        ) & srt_v
+        chain_b = jnp.concatenate([jnp.array([-2], jnp.int32), b_srt[:-1]])
+        chain_valid = same_prev & (a_srt <= chain_b)
 
-        # event arrays [E]: first R plus-events, then R minus-events
-        ev_a = jnp.concatenate([a_r, jnp.where(chain_valid, chain_a, 0)])
-        ev_b = jnp.concatenate([b_r, jnp.where(chain_valid, chain_b, -1)])
-        ev_hash = jnp.concatenate([occ_h, jnp.where(chain_valid, h_sorted, U32_MAX)])
+        # event arrays [E=2R]: R plus-events then R minus-events, both in
+        # hash-sorted occurrence order
+        ev_a = jnp.concatenate([a_srt, jnp.where(chain_valid, a_srt, 0)])
+        ev_b = jnp.concatenate([b_srt, jnp.where(chain_valid, chain_b, -1)])
         ev_sign = jnp.concatenate(
             [
-                jnp.where(occ_v, jnp.int8(1), jnp.int8(0)),
+                jnp.where(srt_v, jnp.int8(1), jnp.int8(0)),
                 jnp.where(chain_valid, jnp.int8(-1), jnp.int8(0)),
             ]
         )
-        qrank = jnp.searchsorted(qh, ev_hash, side="left").astype(jnp.int32)
-        qrank_c = jnp.minimum(qrank, S - 1)
-        in_q = (qh[qrank_c] == ev_hash) & (qrank < s)
+
+        # query rank (#sketch hashes < occurrence hash) and membership via a
+        # merge of the two sorted lists: occurrence elements sort before
+        # equal sketch elements, sketch padding is typed out of both counts
+        mval = jnp.concatenate([h_srt, qh])
+        mtyp = jnp.concatenate(
+            [
+                jnp.zeros(R, jnp.int32),
+                jnp.where(jnp.arange(S) < s, 1, 2),
+            ]
+        )
+        v_s, t_s = jax.lax.sort((mval, mtyp), num_keys=2)
+        isq = (t_s == 1).astype(jnp.int32)
+        qrank_m = jnp.cumsum(isq) - isq  # sketch hashes strictly before
+        # membership: does my equal-value run contain a sketch element?
+        # (the sketch element is last in its run -> backward segmented any)
+        def seg_any(aa, bb):
+            va, fa = aa
+            vb, fb = bb
+            return vb, jnp.where(va == vb, jnp.maximum(fa, fb), fb)
+
+        _, anyq_rev = jax.lax.associative_scan(
+            seg_any, (v_s[::-1], isq[::-1])
+        )
+        anyq = anyq_rev[::-1]
+        # extract the R occurrence rows (merged order preserves h_srt order)
+        _, qrank_h, inq_h = jax.lax.sort(
+            (t_s, qrank_m, anyq), num_keys=1, is_stable=True
+        )
+        qrank = jnp.concatenate([qrank_h[:R], qrank_h[:R]])
+        in_q = jnp.concatenate([inq_h[:R] > 0, inq_h[:R] > 0])
 
         # grid of iterator stops: x_r and x_r - L + 1
         grid = jnp.concatenate([occ_w, a_r])
@@ -569,10 +623,28 @@ def _make_l2_one(cfg: MapKernelConfig, shard: DeviceShard):
         ev_sign, qrank, in_q = st["ev_sign"], st["qrank"], st["in_q"]
         grid = st["grid"]
 
-        jj = jnp.arange(S, dtype=jnp.int32)
+        SC = cfg.sketch_cols or S
+        jj = jnp.arange(SC, dtype=jnp.int32)
         if cfg.l2_path == "matmul":
             # MXU path: activation matrix [P, E] int8 against event-column
-            # matrices [E, 2S]; one int8 matmul with int32 accumulation.
+            # matrices [E, 2*SC]; one int8 matmul with int32 accumulation.
+            ev_overflow = jnp.bool_(False)
+            if cfg.event_cap and cfg.event_cap < ev_a.shape[0]:
+                # compact dead (padding / invalid-chain) event columns away:
+                # sort by liveness carrying the event fields, keep event_cap
+                dead = (ev_sign == 0).astype(jnp.int32)
+                n_live = ev_a.shape[0] - dead.sum()
+                ev_overflow = n_live > cfg.event_cap
+                _, ev_a, ev_b, sgn32, qrank, inq32 = jax.lax.sort(
+                    (dead, ev_a, ev_b, ev_sign.astype(jnp.int32), qrank,
+                     in_q.astype(jnp.int32)),
+                    num_keys=1, is_stable=True,
+                )
+                ev_a = ev_a[: cfg.event_cap]
+                ev_b = ev_b[: cfg.event_cap]
+                ev_sign = sgn32[: cfg.event_cap].astype(jnp.int8)
+                qrank = qrank[: cfg.event_cap]
+                in_q = inq32[: cfg.event_cap].astype(bool)
             act = (grid[:, None] >= ev_a[None, :]) & (grid[:, None] <= ev_b[None, :])
             a_mat = jnp.where(act, ev_sign[None, :], jnp.int8(0))
             ref_le = ((~in_q)[:, None] & (qrank[:, None] <= jj[None, :])).astype(jnp.int8)
@@ -584,8 +656,9 @@ def _make_l2_one(cfg: MapKernelConfig, shard: DeviceShard):
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            c_cnt = cm[:, :S]
-            m_ind = cm[:, S:]
+            c_cnt = cm[:, :SC]
+            m_ind = cm[:, SC:]
+            st["overflow"] = st["overflow"] | ev_overflow
         else:
             # scatter + 2D-cumsum path, O(P*S + E): events become +-sign
             # entries in difference arrays over (grid row, query rank).
@@ -600,11 +673,11 @@ def _make_l2_one(cfg: MapKernelConfig, shard: DeviceShard):
             d = d.at[row_a, qcol].add(jnp.where(refonly, sgn, 0))
             d = d.at[row_end, qcol].add(jnp.where(refonly, -sgn, 0))
             g = jnp.cumsum(d[:P], axis=0)
-            c_cnt = jnp.cumsum(g, axis=1)[:, :S]
+            c_cnt = jnp.cumsum(g, axis=1)[:, :SC]
             dm = jnp.zeros((P + 1, S + 1), jnp.int32)
             dm = dm.at[row_a, qcol].add(jnp.where(inq_ev, sgn, 0))
             dm = dm.at[row_end, qcol].add(jnp.where(inq_ev, -sgn, 0))
-            m_ind = jnp.cumsum(dm[:P], axis=0)[:, :S]
+            m_ind = jnp.cumsum(dm[:P], axis=0)[:, :SC]
 
         below = (jj[None, :] + c_cnt) < s
         shared_p = jnp.sum(
@@ -756,18 +829,97 @@ def map_batch_stage1(cfg: MapKernelConfig, shard: DeviceShard, reads, read_lens,
     return q_hash, q_strand, s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ
 
 
+def _make_strand_votes(cfg: MapKernelConfig, shard: DeviceShard):
+    """Device strand votes over one candidate's optimal map range [beg, end)
+    — computeStatistics parity (slidingMap.hpp:232-254, see the host oracle
+    mapper_oracle._strand_votes). Votes come from the first s union keys
+    present in both sketches; the ref strand for duplicate hashes is the
+    last occurrence in position order. Merge-via-sort, gather-free."""
+    R = cfg.range_max
+    S = cfg.sketch_max
+
+    def votes_fn(qh, qs, s, beg, end):
+        n = jnp.clip(end - beg, 0, R)
+        M = shard.hash_pos.shape[0]
+        if M < R:
+            hp = jnp.concatenate(
+                [shard.hash_pos, jnp.full(R - M, U32_MAX, shard.hash_pos.dtype)]
+            )
+            sp = jnp.concatenate(
+                [shard.strand_pos, jnp.zeros(R - M, shard.strand_pos.dtype)]
+            )
+            start2 = jnp.minimum(beg, 0)
+        else:
+            hp, sp = shard.hash_pos, shard.strand_pos
+            start2 = jnp.minimum(beg, M - R)
+        shift = beg - start2
+        v = jnp.arange(R) < n
+        rh = jnp.where(
+            v, jnp.roll(jax.lax.dynamic_slice(hp, (start2,), (R,)), -shift),
+            U32_MAX,
+        )
+        rs = jnp.where(
+            v,
+            jnp.roll(
+                jax.lax.dynamic_slice(sp, (start2,), (R,)), -shift
+            ).astype(jnp.int32),
+            0,
+        )
+        # keep the LAST occurrence per ref hash (position order)
+        rh_s, _, rs_s = jax.lax.sort(
+            (rh, jnp.arange(R, dtype=jnp.int32), rs), num_keys=2
+        )
+        is_last = jnp.concatenate(
+            [rh_s[1:] != rh_s[:-1], jnp.ones(1, bool)]
+        ) & (rh_s != U32_MAX)
+
+        # typed merge: ref-unique (0) before equal query (1); dups/pads (3)
+        mval = jnp.concatenate([jnp.where(is_last, rh_s, U32_MAX), qh])
+        mtyp = jnp.concatenate(
+            [
+                jnp.where(is_last, 0, 3),
+                jnp.where(jnp.arange(S) < s, 1, 3),
+            ]
+        )
+        mstr = jnp.concatenate([rs_s, qs.astype(jnp.int32)])
+        v_s, t_s, s_s = jax.lax.sort((mval, mtyp, mstr), num_keys=2)
+        prev_val = jnp.concatenate([jnp.full(1, U32_MAX, v_s.dtype), v_s[:-1]])
+        prev_typ = jnp.concatenate([jnp.full(1, 3, t_s.dtype), t_s[:-1]])
+        prev_str = jnp.concatenate([jnp.zeros(1, jnp.int32), s_s[:-1]])
+        is_q = t_s == 1
+        in_r = is_q & (prev_typ == 0) & (prev_val == v_s)
+        cnt_ref_le = jnp.cumsum((t_s == 0).astype(jnp.int32))
+        jrank = jnp.cumsum(is_q.astype(jnp.int32)) - is_q.astype(jnp.int32)
+        commons_before = jnp.cumsum(in_r.astype(jnp.int32)) - in_r.astype(jnp.int32)
+        # union rank of q_j = j + #(ref-only uniques < q_j)
+        rank = jrank + cnt_ref_le - in_r.astype(jnp.int32) - commons_before
+        take = in_r & (rank < s)
+        return jnp.sum(jnp.where(take, s_s * prev_str, 0), dtype=jnp.int32)
+
+    return votes_fn
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def batch_l2_gather(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
-                    sketch_size, read_lens, rows, c_seq, c_start, c_end):
+                    q_strand, sketch_size, read_lens, rows, c_seq, c_start,
+                    c_end):
     """L2 scoring of a host-routed candidate slab: gathers the per-read
     sketch rows on device (q_hash etc. stay device-resident between the
     stage-1 and stage-2 dispatches) and scores with this cfg's (smaller)
-    range capacity. ``rows`` [K] indexes into the stage-1 batch."""
+    range capacity. ``rows`` [K] indexes into the stage-1 batch.
+
+    Returns ONE stacked [6, K] int32 array (shared, mean_pos, opt_beg,
+    opt_end, overflow, strand_votes) — a single device buffer per slab
+    keeps the device->host fetch to one round trip per read chunk."""
     rows_c = jnp.maximum(rows, 0)
-    return batch_l2_slab(
-        cfg, shard, q_hash[rows_c], sketch_size[rows_c], read_lens[rows_c],
-        c_seq, c_start, c_end,
+    qh = q_hash[rows_c]
+    qs = q_strand[rows_c]
+    ss = sketch_size[rows_c]
+    sh, mp, ob, oe, ovf = batch_l2_slab(
+        cfg, shard, qh, ss, read_lens[rows_c], c_seq, c_start, c_end,
     )
+    votes = jax.vmap(_make_strand_votes(cfg, shard))(qh, qs, ss, ob, oe)
+    return jnp.stack([sh, mp, ob, oe, ovf.astype(jnp.int32), votes])
 
 
 @partial(jax.jit, static_argnames=("cfg",))
