@@ -126,6 +126,15 @@ class JaxMapperEngine:
                     (bucket, chunk, self._dispatch_stage1(cfg, bucket, chunk, seqs))
                 )
 
+        # start async D2H copies for every chunk's stage-1 outputs so the
+        # per-chunk fetches below pay the tunnel round trip only once
+        for _, _, (out, _) in stage1:
+            for a in out[2:]:
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    break
+
         # phase 2: fetch stage-1 per chunk, route candidates, enqueue L2
         # (q_hash/q_strand stay device-only — strand votes run on device)
         staged = []
@@ -145,6 +154,12 @@ class JaxMapperEngine:
             staged.append((bucket, chunk, host, fallback, slabs))
 
         # phase 3: fetch L2 slabs and assemble results
+        for _, _, _, _, slabs in staged:
+            for _, out in slabs:
+                try:
+                    out.copy_to_host_async()
+                except Exception:
+                    break
         for bucket, chunk, host, fallback, slabs in staged:
             self._collect(self._configs[bucket], bucket, chunk, seqs, results,
                           host, fallback, slabs)
