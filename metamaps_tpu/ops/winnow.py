@@ -328,6 +328,37 @@ def _winnow_chunk_batch(chunks, k: int, w: int, alphabet_size: int, n_valid):
     )
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 6))
+def _winnow_chunk_batch_compact(chunks, k: int, w: int, alphabet_size: int,
+                                n_valid, n_own, cap: int):
+    """Winnow a batch of chunks AND compact the emitted records on device
+    (stable sort by the emit mask), so the host fetches ~records instead of
+    ~bases — the device->host tunnel is the indexing bottleneck.
+
+    Returns per chunk: h [cap] uint32, wpos [cap] int32 (chunk-relative),
+    strand [cap] int32, m [cap] int32 (k-mer position of the record's
+    minimizer), n_emit int32 (clamped to cap), last_eval_m int32 (m of the
+    last evaluated owned window, -1 if none), overflow bool.
+    """
+    def one(seq, nv, nown):
+        emit, h, j, st, m, ev = winnow_dense(seq, k, w, alphabet_size, nv)
+        own = j < nown
+        emit = emit & own
+        ev = ev & own
+        n_emit = emit.sum().astype(jnp.int32)
+        key = jnp.where(emit, 0, 1).astype(jnp.int32)
+        _, _, h_s, st_s, m_s, j_s = jax.lax.sort(
+            (key, j, h, st.astype(jnp.int32), m, j), num_keys=2
+        )
+        last_eval_m = jnp.max(jnp.where(ev, m, -1))
+        return (
+            h_s[:cap], j_s[:cap], st_s[:cap], m_s[:cap],
+            jnp.minimum(n_emit, cap), last_eval_m, n_emit > cap,
+        )
+
+    return jax.vmap(one)(chunks, n_valid, n_own)
+
+
 def _chain_suppress(h, p, s):
     """wpos-0 chain suppression on compacted records (host side)."""
     if p.size > 1 and p[0] == 0:
@@ -387,39 +418,74 @@ def winnow_jax(seq, k: int, w: int, alphabet_size: int = 4):
     prev_last_eval_m = None  # absolute k-mer position of the last evaluated
     # window's minimum (the state the in-chunk run-compression cannot see)
     CB = 16
+    # emission density is 2/(w+1); cap with 60% headroom, overflow falls
+    # back to the dense fetch for that chunk
+    cap = int(-(-(stride_windows * 2 * 1.6 / (w + 1)) // 128) * 128)
+    n_own_all = np.minimum(stride_windows, nw_total - np.array(starts)).astype(np.int32)
+    pending = []
     for g0 in range(0, G, CB):
         gsel = list(range(g0, min(g0 + CB, G)))
         pad_g = CB - len(gsel)
         cb = chunks[gsel[0] : gsel[-1] + 1]
         nv = n_valid[gsel[0] : gsel[-1] + 1]
+        nown = n_own_all[gsel[0] : gsel[-1] + 1]
         if pad_g:
             cb = np.concatenate([cb, np.full((pad_g, WINNOW_CHUNK), ord("A"), np.uint8)])
             nv = np.concatenate([nv, np.full(pad_g, 1, np.int32)])
-        emit_b, h_b, p_b, s_b, m_b, ev_b = _winnow_chunk_batch(
-            jnp.asarray(cb), k, w, alphabet_size, jnp.asarray(nv)
+            nown = np.concatenate([nown, np.full(pad_g, 1, np.int32)])
+        pending.append(
+            (
+                gsel,
+                _winnow_chunk_batch_compact(
+                    jnp.asarray(cb), k, w, alphabet_size, jnp.asarray(nv),
+                    jnp.asarray(nown), cap,
+                ),
+            )
         )
-        emit_b, h_b, p_b, s_b, m_b, ev_b = (
-            np.asarray(x) for x in (emit_b, h_b, p_b, s_b, m_b, ev_b)
-        )
+    for _, out in pending:  # overlap the tunnel round trips
+        for a in out:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                break
+    for gsel, out in pending:
+        h_b, p_b, s_b, m_b, ne_b, lastm_b, ovf_b = jax.device_get(out)
         for li, gi in enumerate(gsel):
             start = starts[gi]
-            own = min(stride_windows, nw_total - start)
-            idx = np.flatnonzero(emit_b[li, :own])
-            ch = h_b[li][idx]
-            cp = (p_b[li][idx] + start).astype(np.int32)
-            cs = s_b[li][idx]
-            cm = m_b[li][idx] + start
+            if ovf_b[li]:
+                # rare dense fallback: recompute this chunk uncompacted
+                own = int(n_own_all[gi])
+                emit, h, p, s, m, ev = winnow_dense(
+                    jnp.asarray(chunks[gi]), k, w, alphabet_size,
+                    int(n_valid[gi]),
+                )
+                emit, h, p, s, m, ev = (
+                    np.asarray(x) for x in (emit, h, p, s, m, ev)
+                )
+                idx = np.flatnonzero(emit[:own])
+                ch, cp, cs = h[idx], p[idx].astype(np.int32), s[idx]
+                cm = m[idx]
+                ev_own = np.flatnonzero(ev[:own])
+                last_m = int(m[ev_own[-1]]) if ev_own.size else -1
+            else:
+                ne = int(ne_b[li])
+                ch = h_b[li][:ne].astype(np.uint32)
+                cp = p_b[li][:ne].astype(np.int32)
+                cs = s_b[li][:ne].astype(np.int8)
+                cm = m_b[li][:ne]
+                last_m = int(lastm_b[li])
+            cp = cp + start
+            cm = cm + start
             # stitch: the chunk's first evaluated window always emits (no
             # in-chunk predecessor); drop it when it continues the previous
             # chunk's minimum run (same absolute occurrence)
             if prev_last_eval_m is not None and cm.size and cm[0] == prev_last_eval_m:
-                ch, cp, cs, cm = ch[1:], cp[1:], cs[1:], cm[1:]
-            ev_own = np.flatnonzero(ev_b[li, :own])
-            if ev_own.size:
-                prev_last_eval_m = int(m_b[li][ev_own[-1]]) + start
+                ch, cp, cs = ch[1:], cp[1:], cs[1:]
+            if last_m >= 0:
+                prev_last_eval_m = last_m + start
             out_h.append(ch)
             out_p.append(cp)
-            out_s.append(cs)
+            out_s.append(cs.astype(np.int8))
 
     h = np.concatenate(out_h) if out_h else np.zeros(0, np.uint32)
     p = np.concatenate(out_p) if out_p else np.zeros(0, np.int32)
