@@ -282,19 +282,39 @@ def make_em_iterate_jax(table: MappingTable, dtype=None):
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    n_reads = len(table.read_ids)
     n_tax = len(table.taxon_list)
     tax = jnp.asarray(table.taxon_of_line)
-    rid = jnp.asarray(table.read_of_line.astype(np.int32))
+    rid_h = table.read_of_line.astype(np.int32)
+    rid = jnp.asarray(rid_h)
     coef = jnp.asarray((table.inv_locations * table.mapq).astype(dtype))
+    # read_of_line is nondecreasing (lines grouped per read), so per-read
+    # sums and their spread back to lines are segmented scans — scatter/
+    # gather-free (both are scalarized on TPU; scans run on the VPU)
+    is_last = np.ones(len(rid_h), bool)
+    if len(rid_h) > 1:
+        is_last[:-1] = rid_h[1:] != rid_h[:-1]
+    is_last = jnp.asarray(is_last)
+
+    def comb_sum(a, b):
+        ra, va = a
+        rb, vb = b
+        return rb, jnp.where(ra == rb, va + vb, vb)
+
+    def comb_first(a, b):
+        ra, va = a
+        rb, vb = b
+        return rb, jnp.where(ra == rb, va, vb)
 
     @jax.jit
     def step(f_in):
         f = jnp.asarray(f_in).astype(dtype)
         l = f[tax] * coef
-        per_read = jax.ops.segment_sum(l, rid, num_segments=n_reads)
-        ll = jnp.sum(jnp.log(per_read))
-        p = l / per_read[rid]
+        _, cs = jax.lax.associative_scan(comb_sum, (rid, l))
+        ll = jnp.sum(jnp.where(is_last, jnp.log(cs), dtype(0)))
+        # per-line read total = the read's last prefix value, spread
+        # backwards (reversed segmented copy-first scan)
+        _, tot_r = jax.lax.associative_scan(comb_first, (rid[::-1], cs[::-1]))
+        p = l / tot_r[::-1]
         f_next = jax.ops.segment_sum(p, tax, num_segments=n_tax)
         return f_next / f_next.sum(), ll
 
