@@ -15,7 +15,8 @@ def build_shard(genomes, params):
     shard = SketchShard()
     parts = []
     for i, g in enumerate(genomes):
-        h, p, s = winnow_np(g, params.kmer_size, params.window_size)
+        h, p, s = winnow_np(g, params.kmer_size, params.window_size,
+                            params.alphabet_size)
         parts.append((h, p, s, i))
         shard.contig_names.append(f"C{i}|kraken:taxid|{1000+i}|X{i}.1")
         shard.contig_lengths.append(len(g))
@@ -79,3 +80,35 @@ def test_batch_mixed_lengths_buckets(setup):
     for i, seq in enumerate(seqs):
         want = mapper_oracle.map_read(shard, params, seq)
         assert [as_tuple(m) for m in got[i]] == [as_tuple(m) for m in want], f"read {i}"
+
+
+def test_batch_protein_alphabet_matches_oracle():
+    """Engine end-to-end on amino-acid sequences (alphabet_size=20, k=5 as
+    the reference's AA defaults, parseCmdArgs.hpp:323-326): no revcomp, no
+    symmetric-kmer skip; batch output must equal the serial oracle."""
+    rng = np.random.default_rng(77)
+    aa = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
+    genomes = [rng.choice(aa, size=20000) for _ in range(2)]
+    params = Parameters(kmer_size=5, window_size=16, min_read_length=500,
+                        percentage_identity=80.0, alphabet_size=20)
+    shard = build_shard(genomes, params)
+    # reads: exact and mutated protein fragments + an alien
+    seqs = []
+    for i in range(6):
+        g = genomes[i % 2]
+        pos = int(rng.integers(0, len(g) - 3000))
+        r = g[pos : pos + 3000].copy()
+        nm = int(0.05 * len(r)) if i % 2 else 0
+        if nm:
+            idx = rng.integers(0, len(r), nm)
+            r[idx] = aa[rng.integers(0, 20, nm)]
+        seqs.append(r)
+    seqs.append(rng.choice(aa, size=2000))
+    engine = JaxMapperEngine(shard, params, read_len_buckets=(4096,))
+    got = engine.map_reads(seqs)
+    n_with_hits = 0
+    for i, seq in enumerate(seqs):
+        want = mapper_oracle.map_read(shard, params, seq)
+        assert [as_tuple(m) for m in got[i]] == [as_tuple(m) for m in want], f"read {i}"
+        n_with_hits += bool(want)
+    assert n_with_hits >= 6  # the protein reads actually map
