@@ -54,13 +54,27 @@ MINHITS_SHIFT_MAX = 32
 def build_uniq_tables(hash_sorted: np.ndarray, nb_bits: int = None):
     """Host-side construction of the unique-hash table + radix directory
     for :class:`DeviceShard`. Returns (uniq_hash [U], uniq_start [U+1],
-    bucket_start [2^nb_bits + 1], bucket_shift, bisect_steps)."""
+    bucket_start [2^nb_bits + 1], bucket_shift, bisect_steps).
+
+    The directory width is grown (up to ``LOOKUP_NB_CAP``) until every bucket
+    holds <= LOOKUP_KMAX unique hashes, enabling the bisection-free aligned
+    8-block lookup in :func:`batch_l1` (bisect_steps stays valid as the
+    fallback for pathological hash distributions)."""
     hs = np.asarray(hash_sorted, dtype=np.uint32)
     uniq, first_idx = np.unique(hs, return_index=True)
     uniq_start = np.concatenate([first_idx, [hs.shape[0]]]).astype(np.int32)
+    n_u = max(1, len(uniq))
+    def _max_bucket(nb):
+        # uniq is sorted, so bucket sizes are run lengths of its top bits
+        keys = uniq >> np.uint32(32 - nb)
+        edges = np.flatnonzero(np.diff(keys))
+        bounds = np.concatenate([[-1], edges, [len(keys) - 1]])
+        return int(np.max(np.diff(bounds))) if len(keys) else 0
+
     if nb_bits is None:
-        n_u = max(1, len(uniq))
-        nb_bits = min(22, max(8, int(np.ceil(np.log2(n_u))) + 2))
+        nb_bits = min(LOOKUP_NB_CAP, max(8, int(np.ceil(np.log2(n_u))) + 2))
+        while nb_bits < LOOKUP_NB_CAP and _max_bucket(nb_bits) > LOOKUP_KMAX:
+            nb_bits += 1
     shift = 32 - nb_bits
     bucket_start = np.searchsorted(
         uniq >> np.uint32(shift), np.arange((1 << nb_bits) + 1, dtype=np.int64)
@@ -71,6 +85,29 @@ def build_uniq_tables(hash_sorted: np.ndarray, nb_bits: int = None):
         uniq = np.zeros(1, np.uint32)
         uniq_start = np.zeros(2, np.int32)
     return uniq, uniq_start, bucket_start, shift, steps
+
+
+LOOKUP_KMAX = 8  # max bucket size for the bisection-free lookup path
+LOOKUP_NB_CAP = 26  # directory width cap: 2^26 * 4 B = 256 MB
+
+
+def build_block_tables(uniq: np.ndarray, uniq_start: np.ndarray):
+    """Aligned 8-block layouts of the unique-hash table for the
+    bisection-free lookup: keys8 [ceil(U/8)+1, 8] uint32 (padded U32_MAX)
+    and starts8 [ceil((U+1)/8)+1, 8] int32 (padded with uniq_start[-1]).
+
+    A bucket [lo, hi) with hi-lo <= 8 spans at most rows lo//8 and lo//8+1
+    of keys8; entries g in [lo, hi) and their successor starts g+1 all fall
+    in starts8 rows lo//8 and lo//8+1 (indices 8*(lo//8) .. 8*(lo//8)+15)."""
+    U = len(uniq)
+    rows_k = U // 8 + 2
+    keys8 = np.full((rows_k, 8), U32_MAX, np.uint32)
+    keys8.reshape(-1)[:U] = uniq
+    n_s = len(uniq_start)
+    rows_s = (n_s - 1) // 8 + 2
+    starts8 = np.full((rows_s, 8), uniq_start[-1], np.int32)
+    starts8.reshape(-1)[:n_s] = uniq_start
+    return keys8, starts8
 
 
 @dataclass(frozen=True)
@@ -139,8 +176,7 @@ def _round_up(x, m):
     jax.tree_util.register_dataclass,
     data_fields=[
         "hash_sorted",
-        "seqid_byhash",
-        "wpos_byhash",
+        "pair_byhash",
         "wpos",
         "hash_pos",
         "strand_pos",
@@ -148,23 +184,33 @@ def _round_up(x, m):
         "uniq_hash",
         "uniq_start",
         "bucket_start",
+        "keys8",
+        "starts8",
     ],
-    meta_fields=["freq_threshold", "bucket_shift", "bisect_steps"],
+    meta_fields=["freq_threshold", "bucket_shift", "bisect_steps", "lookup_mode"],
 )
 @dataclass
 class DeviceShard:
     """Shard arrays resident on device (HBM); pytree with the frequency
     threshold as static metadata.
 
-    The unique-hash table (uniq_hash/uniq_start) plus the radix bucket
-    directory (bucket_start over the hash's top bits) make an L1 lookup cost
-    2 directory gathers + bisect_steps bisection gathers + 3 table gathers —
-    instead of 2 full binary searches over the raw index (TPU gathers are
-    scalarized, so every saved step is ~10 ns/query)."""
+    TPU gathers are the scalarized cost of L1 (~6-12 ns per fetched lane,
+    but a width-2..8 *aligned row* gather costs about the same as a single
+    lane), so the tables are laid out for minimal gather count:
+
+    - ``pair_byhash`` [M, 2]: (seqid, wpos) in hash order — one row gather
+      per hit instead of two table gathers;
+    - ``keys8``/``starts8``: the unique-hash table in aligned 8-blocks. The
+      radix directory is sized at build time so every bucket holds <= 8
+      unique hashes (build_uniq_tables), hence a bucket spans at most two
+      consecutive 8-blocks and a lookup is 2 directory lane gathers + 2 key
+      row gathers + 2 start row gathers — no bisection (``lookup_mode ==
+      'block8'``). For pathological distributions where no directory width
+      under the memory cap achieves bucket <= 8, ``lookup_mode == 'bisect'``
+      falls back to per-bucket binary search over uniq_hash/uniq_start."""
 
     hash_sorted: jnp.ndarray  # [M] uint32
-    seqid_byhash: jnp.ndarray  # [M] int32
-    wpos_byhash: jnp.ndarray  # [M] int32
+    pair_byhash: jnp.ndarray  # [M, 2] int32: (seqid, wpos) in hash order
     wpos: jnp.ndarray  # [M] int32 (position order)
     hash_pos: jnp.ndarray  # [M] uint32 (position order)
     strand_pos: jnp.ndarray  # [M] int8 (position order)
@@ -172,19 +218,27 @@ class DeviceShard:
     uniq_hash: jnp.ndarray  # [U] uint32 (sorted unique index hashes)
     uniq_start: jnp.ndarray  # [U+1] int32 (CSR offsets into hash order)
     bucket_start: jnp.ndarray  # [NB+1] int32 (directory over top hash bits)
+    keys8: jnp.ndarray  # [ceil(U/8)+1, 8] uint32 aligned key blocks
+    starts8: jnp.ndarray  # [ceil((U+1)/8)+1, 8] int32 aligned start blocks
     freq_threshold: int
     bucket_shift: int  # hash >> shift = bucket id
-    bisect_steps: int  # bisection iterations within a bucket
+    bisect_steps: int  # bisection iterations within a bucket (fallback path)
+    lookup_mode: str  # 'block8' | 'bisect'
 
     @classmethod
     def from_host(cls, shard):
         uniq, uniq_start, bucket_start, shift, steps = build_uniq_tables(
             np.asarray(shard.hash_sorted, dtype=np.uint32)
         )
+        keys8, starts8 = build_block_tables(uniq, uniq_start)
+        max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
+        pair = np.stack(
+            [np.asarray(shard.seqid_byhash, np.int32),
+             np.asarray(shard.wpos_byhash, np.int32)], axis=1,
+        )
         return cls(
             hash_sorted=jnp.asarray(shard.hash_sorted),
-            seqid_byhash=jnp.asarray(shard.seqid_byhash),
-            wpos_byhash=jnp.asarray(shard.wpos_byhash),
+            pair_byhash=jnp.asarray(pair),
             wpos=jnp.asarray(shard.wpos),
             hash_pos=jnp.asarray(shard.hash_pos_order),
             strand_pos=jnp.asarray(shard.strand),
@@ -192,9 +246,12 @@ class DeviceShard:
             uniq_hash=jnp.asarray(uniq),
             uniq_start=jnp.asarray(uniq_start),
             bucket_start=jnp.asarray(bucket_start),
+            keys8=jnp.asarray(keys8),
+            starts8=jnp.asarray(starts8),
             freq_threshold=int(shard.freq_threshold),
             bucket_shift=shift,
             bisect_steps=steps,
+            lookup_mode="block8" if max_bucket <= LOOKUP_KMAX else "bisect",
         )
 
 
@@ -270,9 +327,9 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
     TPU formulation (semantically identical to computeL1CandidateRegions,
     computeMap.hpp:346-386, and bit-checked against the serial oracle):
 
-    - hash lookup = radix-directory bisection in the unique-hash table
-      (2 + bisect_steps + 3 gathers/query instead of two full binary
-      searches — gathers are the scalarized cost on TPU);
+    - hash lookup = radix directory + aligned 8-block probe (2 lane gathers
+      + 4 row gathers per query, no bisection — see DeviceShard docstring;
+      'bisect' mode is the fallback for pathological hash distributions);
     - CSR hit expansion = a merge-via-sort: run-start markers and hit slots
       are co-sorted, run payloads (table start / CSR offset, both
       nondecreasing) are spread to slots with running maxima, and the slots
@@ -289,29 +346,51 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
     thr = shard.freq_threshold if freq_threshold is None else freq_threshold
     U = shard.uniq_hash.shape[0]
 
-    # ---- lookup: bucket directory + bisection over unique hashes --------
+    # ---- lookup: bucket directory + aligned 8-block probe ----------------
     b = (q_hash >> shard.bucket_shift).astype(jnp.int32)
     lo = shard.bucket_start[b]
     hi = shard.bucket_start[b + 1]
 
-    def bisect_body(_, lh):
-        lo_, hi_ = lh
-        mid = (lo_ + hi_) // 2
-        v = shard.uniq_hash[jnp.minimum(mid, U - 1)]
-        go = v < q_hash
-        lo2 = jnp.where((lo_ < hi_) & go, mid + 1, lo_)
-        hi2 = jnp.where((lo_ < hi_) & ~go, mid, hi_)
-        return lo2, hi2
+    if shard.lookup_mode == "block8":
+        # bucket spans at most two aligned 8-blocks (build guarantees
+        # hi - lo <= 8): fetch key rows r0/r0+1 and start rows r0/r0+1,
+        # then select the matching entry with vector compares
+        r0 = lo >> 3
+        k16 = jnp.concatenate(
+            [jnp.take(shard.keys8, r0, axis=0),
+             jnp.take(shard.keys8, r0 + 1, axis=0)], axis=-1,
+        )  # [B, S, 16]
+        s16 = jnp.concatenate(
+            [jnp.take(shard.starts8, r0, axis=0),
+             jnp.take(shard.starts8, r0 + 1, axis=0)], axis=-1,
+        )  # [B, S, 16]
+        g = (r0 << 3)[..., None] + jnp.arange(16, dtype=jnp.int32)
+        m = (k16 == q_hash[..., None]) & (g >= lo[..., None]) & (g < hi[..., None])
+        found = m.any(axis=-1)
+        start = jnp.sum(jnp.where(m, s16, 0), axis=-1).astype(jnp.int32)
+        # successor start s[g+1] lives in the same 16 fetched values
+        # (g <= 8*r0+14 since hi <= lo+8 <= 8*r0+15)
+        nxt = jnp.concatenate([s16[..., 1:], s16[..., :1]], axis=-1)
+        count = jnp.sum(jnp.where(m, nxt - s16, 0), axis=-1).astype(jnp.int32)
+    else:
+        def bisect_body(_, lh):
+            lo_, hi_ = lh
+            mid = (lo_ + hi_) // 2
+            v = shard.uniq_hash[jnp.minimum(mid, U - 1)]
+            go = v < q_hash
+            lo2 = jnp.where((lo_ < hi_) & go, mid + 1, lo_)
+            hi2 = jnp.where((lo_ < hi_) & ~go, mid, hi_)
+            return lo2, hi2
 
-    lo, hi = jax.lax.fori_loop(0, shard.bisect_steps, bisect_body, (lo, hi))
-    ic = jnp.minimum(lo, U - 1)
-    found = (lo < U) & (shard.uniq_hash[ic] == q_hash)
-    start = jnp.where(found, shard.uniq_start[ic], 0).astype(jnp.int32)
-    count = jnp.where(
-        found, shard.uniq_start[jnp.minimum(ic + 1, U)] - start, 0
-    ).astype(jnp.int32)
+        lo_f, _ = jax.lax.fori_loop(0, shard.bisect_steps, bisect_body, (lo, hi))
+        ic = jnp.minimum(lo_f, U - 1)
+        found = (lo_f < U) & (shard.uniq_hash[ic] == q_hash)
+        start = jnp.where(found, shard.uniq_start[ic], 0).astype(jnp.int32)
+        count = jnp.where(
+            found, shard.uniq_start[jnp.minimum(ic + 1, U)] - start, 0
+        ).astype(jnp.int32)
     valid_q = q_hash != U32_MAX
-    count = jnp.where(valid_q & (count < thr), count, 0)
+    count = jnp.where(valid_q & found & (count < thr), count, 0)
 
     # ---- CSR expansion to H hit slots via merge-sort ---------------------
     offsets = jnp.cumsum(count, axis=1)
@@ -346,8 +425,9 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
     fstart, fprev = fstart[:, :H], fprev[:, :H]
     hit_valid = t[None, :] < total[:, None]
     idx = jnp.where(hit_valid, fstart + (t[None, :] - fprev), 0)
-    h_seq = jnp.where(hit_valid, shard.seqid_byhash[idx], I32_MAX)
-    h_pos = jnp.where(hit_valid, shard.wpos_byhash[idx], I32_MAX)
+    pair = jnp.take(shard.pair_byhash, idx, axis=0)  # [B, H, 2] one row gather
+    h_seq = jnp.where(hit_valid, pair[..., 0], I32_MAX)
+    h_pos = jnp.where(hit_valid, pair[..., 1], I32_MAX)
 
     # ---- sort hits by (seqid, wpos) --------------------------------------
     h_seq, h_pos = jax.lax.sort((h_seq, h_pos), dimension=1, num_keys=2)

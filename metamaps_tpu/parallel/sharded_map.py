@@ -86,8 +86,7 @@ def stack_shards(parts: List[SketchShard]):
 
     arrs = {
         "hash_sorted": [],
-        "seqid_byhash": [],
-        "wpos_byhash": [],
+        "pair_byhash": [],
         "wpos": [],
         "hash_pos": [],
         "strand_pos": [],
@@ -95,12 +94,16 @@ def stack_shards(parts: List[SketchShard]):
         "freq_threshold": [],
     }
     # unique-hash tables with a COMMON directory width across shards (the
-    # bucket_shift/bisect_steps are static metadata shared by every device)
+    # bucket_shift/bisect_steps/lookup_mode are static metadata shared by
+    # every device)
+    from ..ops.batch_map import LOOKUP_KMAX, build_block_tables
+
     uniq_parts = []
     nb_bits = min(
         22, max(8, int(np.ceil(np.log2(max(1, m_max)))) + 2)
     )
     steps_common = 1
+    max_bucket = 0
     for p in parts:
         hs_pad = np.full(m_max, np.uint32(0xFFFFFFFF), np.uint32)
         hs_pad[: p.n_minimizers] = p.hash_sorted
@@ -108,22 +111,30 @@ def stack_shards(parts: List[SketchShard]):
             hs_pad, nb_bits=nb_bits
         )
         steps_common = max(steps_common, steps)
+        if len(uniq):
+            max_bucket = max(max_bucket, int(np.max(np.diff(bucket_start))))
         uniq_parts.append((uniq, uniq_start, bucket_start))
     u_max = max(len(u) for u, _, _ in uniq_parts)
-    u_hash, u_start, b_start = [], [], []
+    u_hash, u_start, b_start, k8s, s8s = [], [], [], [], []
     for (uniq, uniq_start, bucket_start), p in zip(uniq_parts, parts):
-        u_hash.append(pad1(uniq, u_max, np.uint32(0xFFFFFFFF)))
+        uq = pad1(uniq, u_max, np.uint32(0xFFFFFFFF))
+        u_hash.append(uq)
         us = np.full(u_max + 1, uniq_start[-1], np.int32)
         us[: len(uniq_start)] = uniq_start
         u_start.append(us)
         # directory end indices clamp to this shard's unique count
         bs = np.minimum(bucket_start, np.int32(len(uniq)))
         b_start.append(bs)
+        k8, s8 = build_block_tables(uq, us)
+        k8s.append(k8)
+        s8s.append(s8)
 
     for p in parts:
         arrs["hash_sorted"].append(pad1(p.hash_sorted, m_max, np.uint32(0xFFFFFFFF)))
-        arrs["seqid_byhash"].append(pad1(p.seqid_byhash, m_max, np.int32(2**31 - 1)))
-        arrs["wpos_byhash"].append(pad1(p.wpos_byhash, m_max, np.int32(2**31 - 1)))
+        pair = np.full((m_max, 2), np.int32(2**31 - 1), np.int32)
+        pair[: p.n_minimizers, 0] = p.seqid_byhash
+        pair[: p.n_minimizers, 1] = p.wpos_byhash
+        arrs["pair_byhash"].append(pair)
         # position-order arrays padded with a huge wpos in a virtual contig
         arrs["wpos"].append(pad1(p.wpos, m_max, np.int32(2**31 - 1)))
         arrs["hash_pos"].append(pad1(p.hash_pos_order, m_max, np.uint32(0xFFFFFFFF)))
@@ -135,9 +146,12 @@ def stack_shards(parts: List[SketchShard]):
     arrs["uniq_hash"] = u_hash
     arrs["uniq_start"] = u_start
     arrs["bucket_start"] = b_start
+    arrs["keys8"] = k8s
+    arrs["starts8"] = s8s
     out = {k: jnp.asarray(np.stack(v)) for k, v in arrs.items()}
     out["bucket_shift"] = 32 - nb_bits
     out["bisect_steps"] = steps_common
+    out["lookup_mode"] = "block8" if max_bucket <= LOOKUP_KMAX else "bisect"
     return out
 
 
@@ -159,14 +173,13 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
 
     ax_shard, ax_data = mesh.axis_names
 
-    def local(hash_sorted, seqid_byhash, wpos_byhash, wpos, hash_pos, strand_pos,
-              contig_offsets, uniq_hash, uniq_start, bucket_start, freq_thr,
-              reads_l, lens_l, minhits):
+    def local(hash_sorted, pair_byhash, wpos, hash_pos, strand_pos,
+              contig_offsets, uniq_hash, uniq_start, bucket_start, keys8,
+              starts8, freq_thr, reads_l, lens_l, minhits):
         # leading shard axis of size 1 inside the shard_map body
         shard = DeviceShard(
             hash_sorted=hash_sorted[0],
-            seqid_byhash=seqid_byhash[0],
-            wpos_byhash=wpos_byhash[0],
+            pair_byhash=pair_byhash[0],
             wpos=wpos[0],
             hash_pos=hash_pos[0],
             strand_pos=strand_pos[0],
@@ -174,9 +187,12 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             uniq_hash=uniq_hash[0],
             uniq_start=uniq_start[0],
             bucket_start=bucket_start[0],
+            keys8=keys8[0],
+            starts8=starts8[0],
             freq_threshold=0,  # unused; traced override below
             bucket_shift=stacked["bucket_shift"],
             bisect_steps=stacked["bisect_steps"],
+            lookup_mode=stacked["lookup_mode"],
         )
         q_hash, q_strand, s_size, _ = batch_sketch(cfg, reads_l, lens_l)
         c_seq, c_start, c_end, n_c, ovf = batch_l1(
@@ -205,7 +221,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
         in_specs=(
             P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
             P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
-            P(ax_shard),
+            P(ax_shard), P(ax_shard),
             P(ax_data), P(ax_data), P(),
         ),
         out_specs=(P(None, ax_data), P(None, ax_data), P(None, ax_data)),
@@ -214,9 +230,10 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     import jax
 
     return jax.jit(fn)(
-        stacked["hash_sorted"], stacked["seqid_byhash"], stacked["wpos_byhash"],
+        stacked["hash_sorted"], stacked["pair_byhash"],
         stacked["wpos"], stacked["hash_pos"], stacked["strand_pos"],
         stacked["contig_offsets"], stacked["uniq_hash"], stacked["uniq_start"],
-        stacked["bucket_start"], stacked["freq_threshold"].reshape(-1, 1),
+        stacked["bucket_start"], stacked["keys8"], stacked["starts8"],
+        stacked["freq_threshold"].reshape(-1, 1),
         reads, read_lens, minhits_table,
     )
