@@ -37,7 +37,7 @@ import numpy as np
 _PROFILE = os.environ.get("METAMAPS_TPU_PROFILE", "0") == "1"
 
 from .. import stats
-from ..ops.batch_map import DeviceShard, MapKernelConfig
+from ..ops.batch_map import DeviceShard, MapKernelConfig, _round_up
 from . import mapper_oracle
 from .mapper_oracle import ReadMapping
 
@@ -62,20 +62,26 @@ def _acceptance(shared: int, s: int, k: int, pi: float) -> Tuple[float, float, b
 
 
 def _l2_range_buckets(range_max: int) -> List[int]:
-    """Geometric range-capacity ladder up to the config's worst case."""
+    """Range-capacity ladder up to the config's worst case (~1.5x steps:
+    the L2 cost is ~range^2, so a tighter ladder cuts padding waste; each
+    extra tier costs one compile per sketch-column tier)."""
     rs: List[int] = []
     r = 512
     while r < range_max:
         rs.append(r)
-        r *= 2
+        r = _round_up(int(r * 1.5), 128)
+    # drop a penultimate tier nearly as big as the worst case
+    rs = [t for t in rs if t < 0.87 * range_max]
     rs.append(range_max)
     return rs
 
 
 def _l2_slab_k(r: int) -> int:
-    """Candidates per L2 dispatch for range capacity r (bigger ranges do
-    more work per slot, so fewer slots per dispatch bounds padding waste)."""
-    return max(8, min(64, 32768 // r))
+    """Candidates per L2 dispatch for range capacity r. Each dispatch costs
+    ~2.5 ms of fixed tunnel/launch overhead, so slabs are sized large (the
+    l2_chunk-sized lax.map inside the kernel bounds peak memory); bigger
+    ranges do more work per slot, so fewer slots bounds padding waste."""
+    return max(16, min(64, 98304 // r))
 
 
 class JaxMapperEngine:
@@ -215,11 +221,19 @@ class JaxMapperEngine:
         B = len(chunk)
         fallback = np.zeros(B, bool)
         r_buckets = _l2_range_buckets(cfg.range_max)
-        per_r: Dict[int, List[Tuple[int, int]]] = {}
+        s_host = np.asarray(s_size)
+        sc_tiers = tuple(
+            [x for x in (256, 512, 1024) if x < cfg.sketch_max]
+            + [cfg.sketch_max]
+        )
+        # slab key = (range tier, sketch-column tier): keeps slabs large AND
+        # homogeneous, so the compiled shape fits every member tightly
+        per_key: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
         for r in range(B):
             if s_ovf[r] or l1_ovf[r]:
                 fallback[r] = True
                 continue
+            sc = next(x for x in sc_tiers if x >= s_host[r])
             for c in range(int(n_c[r])):
                 if c_seq[r, c] < 0:
                     continue
@@ -229,19 +243,15 @@ class JaxMapperEngine:
                     fallback[r] = True
                     break
                 rr = next(x for x in r_buckets if x >= no)
-                per_r.setdefault(rr, []).append((r, c))
+                per_key.setdefault((rr, sc), []).append((r, c))
 
         t0 = time.perf_counter()
         slabs = []
         n_dispatched = 0
-        s_host = np.asarray(s_size)
-        for rr in sorted(per_r):
-            coords = [(r, c) for (r, c) in per_r[rr] if not fallback[r]]
+        for rr, sc in sorted(per_key):
+            coords = [(r, c) for (r, c) in per_key[rr, sc] if not fallback[r]]
             if not coords:
                 continue
-            # sort by sketch size so slabs are s-homogeneous, letting the
-            # sketch-column trim bite on slabs of short reads
-            coords.sort(key=lambda rc: int(s_host[rc[0]]))
             K = _l2_slab_k(rr)
             for g0 in range(0, len(coords), K):
                 grp = coords[g0 : g0 + K]
@@ -254,11 +264,6 @@ class JaxMapperEngine:
                     cs[t] = c_seq[r, c]
                     cst[t] = c_start[r, c]
                     cen[t] = c_end[r, c]
-                max_s = max(int(s_host[r]) for r, _ in grp)
-                sc = next(
-                    (x for x in (256, 512, 1024) if x >= max_s and x < cfg.sketch_max),
-                    cfg.sketch_max,
-                )
                 cfg_r = dataclasses.replace(
                     cfg, range_max=rr, sketch_cols=sc,
                     event_cap=min(2 * rr, ((rr + rr // 4 + 127) // 128) * 128),
@@ -284,7 +289,7 @@ class JaxMapperEngine:
             print(
                 f"PROFILE mapper_jax: l2 dispatch B={B} cands={n_dispatched} "
                 f"slabs={len(slabs)} "
-                f"buckets={sorted((rr, len(v)) for rr, v in per_r.items())} "
+                f"buckets={sorted((k, len(v)) for k, v in per_key.items())} "
                 f"{time.perf_counter() - t0:.3f}s",
                 file=sys.stderr,
             )

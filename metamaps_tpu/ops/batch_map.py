@@ -147,10 +147,11 @@ class MapKernelConfig:
             import jax
 
             on_accel = jax.default_backend() in ("tpu", "axon", "gpu")
-            # measured on TPU v5e (256 candidates, 8k-read bucket):
-            # matmul 330ms < pallas 734ms < scatter 1224ms; on CPU the
-            # scatter path wins by a wide margin
-            l2_impl = "matmul" if on_accel else "scatter"
+            # measured on TPU v5e (K=54 slab, R=1792, sc=1024): lockstep
+            # pallas sweep 0.145 ms/cand < matmul 0.235 < scatter (worse);
+            # the gap widens with range (sweep is O(E*S), matmul O(R^2*S)).
+            # On CPU the scatter path wins by a wide margin
+            l2_impl = "pallas" if on_accel else "scatter"
         n_min = int(2.5 * read_len_max / (w + 1)) + 64
         return cls(
             kmer_size=k,
@@ -526,7 +527,8 @@ def _bisect_range(arr, lo, hi, val, side_right=False):
     return lo_f
 
 
-def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
+def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard,
+                          need_rows: bool = False):
     """Event/grid construction for one candidate, shared by all L2 paths.
 
     Gather-free (TPU gathers are scalarized): the occurrence window is a
@@ -534,10 +536,15 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
     from a payload-carrying (hash, wpos) sort; query ranks and membership
     come from a merge-via-sort of the (sorted) sketch with the (sorted)
     occurrence hashes. Event ORDER differs from the reference formulation —
-    all downstream paths treat events as an unordered sum."""
+    all downstream paths treat events as an unordered sum.
+
+    Slabs are sketch-size-homogeneous: when the caller guarantees every
+    read's sketch fits in cfg.sketch_cols, the sketch merge only needs those
+    leading columns (real entries are front-compacted, padding sorts last)."""
     k, w = cfg.kmer_size, cfg.window_size
     R = cfg.range_max
     S = cfg.sketch_max
+    SC = cfg.sketch_cols or S
 
     def setup(qh, s, rlen, c_seq, c_start, c_end):
         valid_cand = c_seq >= 0
@@ -586,12 +593,41 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
         b_r = jnp.where(occ_v, jnp.minimum(next_w - 1, I32_MAX - 1), -2)
         a_r = jnp.where(occ_v, occ_w - L + 1, -1)
 
-        # (hash, wpos)-sorted occurrences, intervals riding as payloads;
-        # padding (U32_MAX, I32_MAX) sorts last, so sorted slot t is a real
-        # occurrence iff t < n_occ
-        h_srt, _, a_srt, b_srt = jax.lax.sort(
-            (occ_h, occ_w, a_r, b_r), num_keys=2
-        )
+        if need_rows:
+            # rank_left of every x (occ_w) and a (x - L + 1) among the grid
+            # stops, sort-only (a vmapped searchsorted is R*log(R) scalarized
+            # gathers — measured 46 ms per slab): co-sort both families with
+            # their origin index, assign each equal-value run its first
+            # sorted position, and un-permute by a second sort
+            vals = jnp.concatenate(
+                [occ_w, jnp.where(occ_v, occ_w - L + 1, I32_MAX)]
+            )
+            orig = jnp.arange(2 * R, dtype=jnp.int32)
+            v_s2, orig_s2 = jax.lax.sort((vals, orig), num_keys=1)
+            ii2 = jnp.arange(2 * R, dtype=jnp.int32)
+            runstart = jnp.concatenate(
+                [jnp.ones(1, bool), v_s2[1:] != v_s2[:-1]]
+            )
+            runfirst = jax.lax.cummax(jnp.where(runstart, ii2, -1))
+            _, rank_orig = jax.lax.sort((orig_s2, runfirst), num_keys=1)
+            rank_a = rank_orig[R:]
+            # rank_left(next_w): rank of the next position-order occurrence;
+            # for the last valid one, rank of the I32_MAX padding run equals
+            # the valid-stop count automatically
+            row_end_pos = jnp.concatenate(
+                [rank_orig[1:R], jnp.array([2 * R], jnp.int32)]
+            )
+            # (hash, wpos)-sorted occurrences, intervals + grid rows riding
+            # as payloads; padding (U32_MAX, I32_MAX) sorts last, so sorted
+            # slot t is a real occurrence iff t < n_occ
+            h_srt, _, a_srt, b_srt, ra_srt, re_srt = jax.lax.sort(
+                (occ_h, occ_w, a_r, b_r, rank_a, row_end_pos), num_keys=2
+            )
+        else:
+            h_srt, _, a_srt, b_srt = jax.lax.sort(
+                (occ_h, occ_w, a_r, b_r), num_keys=2
+            )
+            ra_srt = re_srt = None
         srt_v = occ_v  # same count, sorted to the front
         same_prev = jnp.concatenate(
             [jnp.zeros(1, bool), h_srt[1:] == h_srt[:-1]]
@@ -609,15 +645,25 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
                 jnp.where(chain_valid, jnp.int8(-1), jnp.int8(0)),
             ]
         )
+        if need_rows:
+            # grid-row equivalents of (ev_a left-search, ev_b right-search):
+            # right-search of b = x_next - 1 == left-search of x_next, whose
+            # rank rides in re_srt; a chain's b is its predecessor's
+            ev_row_a = jnp.concatenate([ra_srt, ra_srt])
+            chain_re = jnp.concatenate([jnp.zeros(1, jnp.int32), re_srt[:-1]])
+            ev_row_end = jnp.concatenate([re_srt, chain_re])
+        else:
+            ev_row_a = ev_a
+            ev_row_end = ev_b
 
         # query rank (#sketch hashes < occurrence hash) and membership via a
         # merge of the two sorted lists: occurrence elements sort before
         # equal sketch elements, sketch padding is typed out of both counts
-        mval = jnp.concatenate([h_srt, qh])
+        mval = jnp.concatenate([h_srt, qh[:SC]])
         mtyp = jnp.concatenate(
             [
                 jnp.zeros(R, jnp.int32),
-                jnp.where(jnp.arange(S) < s, 1, 2),
+                jnp.where(jnp.arange(SC) < s, 1, 2),
             ]
         )
         v_s, t_s = jax.lax.sort((mval, mtyp), num_keys=2)
@@ -650,7 +696,7 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
             valid_cand=valid_cand, overflow=overflow, beg0=beg0, L=L,
             occ_w=occ_w, grid=grid, grid_valid=grid_valid,
             ev_a=ev_a, ev_b=ev_b, ev_sign=ev_sign, qrank=qrank, in_q=in_q,
-            s=s,
+            s=s, ev_row_a=ev_row_a, ev_row_end=ev_row_end,
         )
 
     return setup
@@ -772,36 +818,50 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
                      sketch_size, read_lens, cand_seq, cand_start, cand_end):
     """Pallas event-sweep path over a whole candidate batch: event/grid
     construction and position decoding stay in XLA (vmapped); the O(E*S)
-    sweep + optimum fold run as one pallas_call over all candidates."""
-    from .l2_pallas import l2_event_sweep
+    lockstep sweep + optimum fold run as one pallas_call over the slab."""
+    from .l2_pallas import l2_event_sweep_batch
 
     S = cfg.sketch_max
+    SC = cfg.sketch_cols or S
     P = 2 * cfg.range_max
-    setup_fn = _make_candidate_setup(cfg, shard)
+    setup_fn = _make_candidate_setup(cfg, shard, need_rows=True)
     st = jax.vmap(setup_fn)(q_hash, sketch_size, read_lens,
                             cand_seq, cand_start, cand_end)
 
-    # sweep events: starts at row_a (searchsorted left), ends at row_end
-    # (searchsorted right); in-q events encoded as +-2, ref-only +-1
-    row_a = jax.vmap(lambda g, a: jnp.searchsorted(g, a, side="left"))(
-        st["grid"], st["ev_a"]
-    ).astype(jnp.int32)
-    row_end = jax.vmap(lambda g, b: jnp.searchsorted(g, b, side="right"))(
-        st["grid"], st["ev_b"]
-    ).astype(jnp.int32)
+    # sweep events: +1 at the interval's first grid row, -1 one past its
+    # last; the rows were derived by sort during setup (need_rows)
+    row_a = st["ev_row_a"]
+    row_end = st["ev_row_end"]
     base = jnp.where(st["in_q"], 2, 1) * st["ev_sign"].astype(jnp.int32)
     rows2 = jnp.concatenate([row_a, row_end], axis=1)
     signinq2 = jnp.concatenate([base, -base], axis=1)
-    # padding events sort last; the kernel sweeps only the real ones
+    # padding events sort last; beyond n_ev every step is a no-op
     rows2 = jnp.where(signinq2 != 0, rows2, I32_MAX)
     n_ev = jnp.sum(signinq2 != 0, axis=1, dtype=jnp.int32)
     qrank2 = jnp.minimum(
-        jnp.concatenate([st["qrank"], st["qrank"]], axis=1), S
+        jnp.concatenate([st["qrank"], st["qrank"]], axis=1), SC
     )
-    order = jnp.argsort(rows2, axis=1, stable=True)
-    rows_s = jnp.take_along_axis(rows2, order, axis=1)
-    signinq_s = jnp.take_along_axis(signinq2, order, axis=1)
-    qrank_s = jnp.take_along_axis(qrank2, order, axis=1)
+    # one stable sort carrying both payloads (argsort + take_along_axis
+    # would be three scalarized gather passes); a tiebreak key keeps plus
+    # transitions before minus at equal rows
+    tie = jnp.broadcast_to(
+        jnp.arange(rows2.shape[1], dtype=jnp.int32), rows2.shape
+    )
+    rows_s, _, signinq_s, qrank_s = jax.lax.sort(
+        (rows2, tie, signinq2, qrank2), dimension=1, num_keys=2
+    )
+
+    # live-event cap: transitions beyond it are padding for most slabs; a
+    # candidate whose real transitions exceed the cap falls back to the host
+    if cfg.event_cap:
+        e2_cap = _round_up(min(2 * cfg.event_cap, rows_s.shape[1]), 128)
+    else:
+        e2_cap = rows_s.shape[1]
+    if e2_cap < rows_s.shape[1]:
+        rows_s = rows_s[:, :e2_cap]
+        signinq_s = signinq_s[:, :e2_cap]
+        qrank_s = qrank_s[:, :e2_cap]
+        st["overflow"] = st["overflow"] | (n_ev > e2_cap)
 
     # valid grid rows form a contiguous range [row_lo, row_hi]
     gv = st["grid_valid"]
@@ -814,9 +874,9 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
         [sketch_size.astype(jnp.int32), row_lo, row_hi, n_ev], axis=1,
     )
 
-    s_pad = _round_up(S + 1, 1024)
-    out = l2_event_sweep(meta, qrank_s, signinq_s, rows_s, s_pad,
-                         interpret=cfg.l2_interpret)
+    sp = _round_up(SC + 1, 128)
+    out = l2_event_sweep_batch(meta, qrank_s, signinq_s, rows_s, sp,
+                               interpret=cfg.l2_interpret)
     best = out[:, 0]
     first_i = jnp.maximum(out[:, 1], 0)
     last_i = jnp.maximum(out[:, 2], 0)
@@ -914,9 +974,12 @@ def _make_strand_votes(cfg: MapKernelConfig, shard: DeviceShard):
     — computeStatistics parity (slidingMap.hpp:232-254, see the host oracle
     mapper_oracle._strand_votes). Votes come from the first s union keys
     present in both sketches; the ref strand for duplicate hashes is the
-    last occurrence in position order. Merge-via-sort, gather-free."""
+    last occurrence in position order. Merge-via-sort, gather-free.
+    Like the L2 setup, only the leading sketch_cols sketch columns join the
+    merge (slabs are sketch-size-homogeneous)."""
     R = cfg.range_max
     S = cfg.sketch_max
+    SC = cfg.sketch_cols or S
 
     def votes_fn(qh, qs, s, beg, end):
         n = jnp.clip(end - beg, 0, R)
@@ -954,14 +1017,14 @@ def _make_strand_votes(cfg: MapKernelConfig, shard: DeviceShard):
         ) & (rh_s != U32_MAX)
 
         # typed merge: ref-unique (0) before equal query (1); dups/pads (3)
-        mval = jnp.concatenate([jnp.where(is_last, rh_s, U32_MAX), qh])
+        mval = jnp.concatenate([jnp.where(is_last, rh_s, U32_MAX), qh[:SC]])
         mtyp = jnp.concatenate(
             [
                 jnp.where(is_last, 0, 3),
-                jnp.where(jnp.arange(S) < s, 1, 3),
+                jnp.where(jnp.arange(SC) < s, 1, 3),
             ]
         )
-        mstr = jnp.concatenate([rs_s, qs.astype(jnp.int32)])
+        mstr = jnp.concatenate([rs_s, qs[:SC].astype(jnp.int32)])
         v_s, t_s, s_s = jax.lax.sort((mval, mtyp, mstr), num_keys=2)
         prev_val = jnp.concatenate([jnp.full(1, U32_MAX, v_s.dtype), v_s[:-1]])
         prev_typ = jnp.concatenate([jnp.full(1, 3, t_s.dtype), t_s[:-1]])

@@ -108,6 +108,164 @@ def _sweep_kernel(meta_ref, qrank_ref, signinq_ref, rows_ref, out_ref,
     out_ref[0, 0, 3] = 0
 
 
+BLK = 128  # events per grid program (statically unrolled in the kernel;
+           # TPU block shapes need the trailing dim to be a multiple of 128)
+
+
+def _batch_sweep_kernel(meta_ref, qrank_ref, signinq_ref, rows_ref, out_ref,
+                        c_plane, m_plane, fold):
+    """Lockstep sweep over ALL candidates of a slab.
+
+    Grid = event blocks (sequential on TPU). Each program receives one
+    [BLK, N] block of the event-major arrays (auto-DMA'd by pallas) and
+    applies its BLK events with statically-unrolled [N, SP] vector ops — no
+    dynamic addressing, no scalar loops. State planes and the optimum fold
+    persist in scratch across programs.
+
+    Segments are closed LAZILY: before applying event e, the interval
+    [prev_row, row_e - 1] is scored with the current shared count (the value
+    after event e-1), which reproduces the eager kernel's
+    evaluate-after-each-event semantics without needing row_{e+1}.
+
+    All arrays are candidate-major (N on sublanes) so per-candidate vectors
+    are [N, 1] columns and broadcast along the SP lane dimension with no
+    lane<->sublane relayout.
+
+    meta_ref [N, 4] int32: (s, row_lo, row_hi, unused) columns.
+    out_ref [N, 4] int32: (best, first_row, last_row, 0).
+    Scratch: c_plane/m_plane [N, SP] int32; fold [N, 8] int32 holding
+    (best, first, last, prev_row, shared) columns.
+    """
+    N, SP = c_plane.shape
+    i = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+    s = meta_ref[:, 0:1]
+    row_lo = meta_ref[:, 1:2]
+    row_hi = meta_ref[:, 2:3]
+    lin = jax.lax.broadcasted_iota(jnp.int32, (N, SP), 1)
+
+    @pl.when(i == 0)
+    def _init():
+        c_plane[:] = jnp.zeros_like(c_plane)
+        m_plane[:] = jnp.zeros_like(m_plane)
+        z = jnp.zeros((N, 1), jnp.int32)
+        fold[:, 0:1] = z          # best
+        fold[:, 1:2] = z - 1      # first
+        fold[:, 2:3] = z - 1      # last
+        fold[:, 3:4] = z + jnp.int32(-(2**31))  # prev_row
+        fold[:, 4:5] = z          # shared
+
+    # carry ALL state as values across the unrolled block (vector registers);
+    # scratch is read/written once per program — a per-step scratch RMW costs
+    # ~16x (measured 14.7 us/step vs 0.9)
+    qr_all = qrank_ref[:]
+    si_all = signinq_ref[:]
+    row_all = rows_ref[:]
+    c = c_plane[:]
+    m = m_plane[:]
+    best = fold[:, 0:1]
+    first = fold[:, 1:2]
+    last = fold[:, 2:3]
+    prev_row = fold[:, 3:4]
+    shared = fold[:, 4:5]
+
+    for e in range(BLK):
+        qr = qr_all[:, e : e + 1]
+        si = si_all[:, e : e + 1]
+        row = row_all[:, e : e + 1]
+
+        # close the segment ending just before this event's row
+        seg_a = jnp.maximum(prev_row, row_lo)
+        seg_b = jnp.minimum(row - 1, row_hi)
+        nonempty = seg_a <= seg_b
+        better = nonempty & (shared > best)
+        equal = nonempty & (shared == best) & (best > 0)
+        first = jnp.where(better, seg_a, first)
+        last = jnp.where(better | equal, seg_b, last)
+        best = jnp.where(better, shared, best)
+        prev_row = jnp.maximum(prev_row, row)
+
+        is_inq = (si == 2) | (si == -2)
+        sign = jnp.where(si > 0, 1, jnp.where(si < 0, -1, 0))
+        c = c + jnp.where(((~is_inq) & (sign != 0)) & (lin >= qr), sign, 0)
+        m = m + jnp.where(is_inq & (lin == qr), sign, 0)
+        shared = jnp.sum(
+            (m > 0) & ((lin + c) < s),
+            axis=1, dtype=jnp.int32, keepdims=True,
+        )
+
+    @pl.when(i == n_prog - 1)
+    def _finish():
+        # close the trailing segment [prev_row, row_hi]
+        seg_a = jnp.maximum(prev_row, row_lo)
+        seg_b = row_hi
+        nonempty = seg_a <= seg_b
+        better = nonempty & (shared > best)
+        equal = nonempty & (shared == best) & (best > 0)
+        out_ref[:, 0:1] = jnp.where(better, shared, best)
+        out_ref[:, 1:2] = jnp.where(better, seg_a, first)
+        out_ref[:, 2:3] = jnp.where(better | equal, seg_b, last)
+        out_ref[:, 3:4] = jnp.zeros((N, 1), jnp.int32)
+
+    c_plane[:] = c
+    m_plane[:] = m
+    fold[:, 0:1] = best
+    fold[:, 1:2] = first
+    fold[:, 2:3] = last
+    fold[:, 3:4] = prev_row
+    fold[:, 4:5] = shared
+
+
+@partial(jax.jit, static_argnames=("sp", "interpret"))
+def l2_event_sweep_batch(meta, qrank, signinq, rows, sp: int,
+                         interpret: bool = False):
+    """Lockstep batched sweep (the accelerator L2 path).
+
+    meta [N, 4] int32: (sketch size, row_lo, row_hi, n_events) per candidate;
+    qrank/signinq/rows [N, E2] int32 events sorted by row, padding
+    (sign 0, row INT32_MAX) last. ``sp`` = rank-plane width (must cover the
+    max clipped qrank + 1, multiple of 128).
+    Returns [N, 4] int32: (best shared, first_row, last_row, 0).
+    """
+    N0, E2 = qrank.shape
+    assert sp % 128 == 0
+    # pad candidates to a full sublane tile (partial tiles force masked ops)
+    N = (N0 + 7) // 8 * 8
+    e2p = (E2 + BLK - 1) // BLK * BLK
+
+    def padded(x, fill):
+        out = jnp.full((N, e2p), fill, jnp.int32)
+        return jax.lax.dynamic_update_slice(out, x, (0, 0))
+
+    qrank_p = padded(qrank, 0)
+    signinq_p = padded(signinq, 0)
+    rows_p = padded(rows, np.int32(2**31 - 1))
+    if N != N0:
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((N - N0, meta.shape[1]), jnp.int32)], axis=0
+        )
+    out = pl.pallas_call(
+        _batch_sweep_kernel,
+        grid=(e2p // BLK,),
+        out_shape=jax.ShapeDtypeStruct((N, 4), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((N, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, BLK), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((N, 4), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((N, sp), jnp.int32),
+            pltpu.VMEM((N, sp), jnp.int32),
+            pltpu.VMEM((N, 8), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, qrank_p, signinq_p, rows_p)
+    return out[:N0]
+
+
 @partial(jax.jit, static_argnames=("s_pad", "interpret"))
 def l2_event_sweep(meta, qrank, signinq, rows, s_pad: int,
                    interpret: bool = False):
