@@ -22,19 +22,20 @@ from .params import Parameters
 
 
 def _add_sketch_args(p: argparse.ArgumentParser):
-    p.add_argument("--reference", required=True, help="reference FASTA (DB.fa)")
-    p.add_argument("--kmer", type=int, default=None, help="k-mer size (default 16)")
-    p.add_argument("--pval", type=float, default=None, help="p-value cutoff (default 1e-3)")
-    p.add_argument("--minReadLen", type=int, default=None, help="minimum read length (default 1000)")
+    # short aliases mirror the reference (parseCmdArgs.hpp:58-79)
+    p.add_argument("--reference", "-r", required=True, help="reference FASTA (DB.fa)")
+    p.add_argument("--kmer", "-k", type=int, default=None, help="k-mer size (default 16)")
+    p.add_argument("--pval", "-p", type=float, default=None, help="p-value cutoff (default 1e-3)")
+    p.add_argument("--minReadLen", "-m", type=int, default=None, help="minimum read length (default 1000)")
     p.add_argument("--perc_identity", "--pi", dest="pi", type=float, default=None,
                    help="identity cutoff %% (default 80)")
-    p.add_argument("--window", type=int, default=None, help="window size (default: from p-value)")
-    p.add_argument("--maxmemory", type=int, default=None, help="memory budget in GB")
+    p.add_argument("--window", "-w", type=int, default=None, help="window size (default: from p-value)")
+    p.add_argument("--maxmemory", "--mm", type=int, default=None, help="memory budget in GB")
 
 
 def _add_query_args(p: argparse.ArgumentParser):
-    p.add_argument("--query", required=True, help="reads FASTA/FASTQ (comma-separated list allowed)")
-    p.add_argument("--output", required=True, help="output prefix (comma-separated list allowed)")
+    p.add_argument("--query", "-q", required=True, help="reads FASTA/FASTQ (comma-separated list allowed)")
+    p.add_argument("--output", "-o", required=True, help="output prefix (comma-separated list allowed)")
     p.add_argument("--all", action="store_true", help="report all mappings, not just the top band")
     p.add_argument("--threads", "-t", type=int, default=1)
     p.add_argument("--mapping-engine", choices=["auto", "jax", "oracle"], default="auto",
@@ -65,14 +66,14 @@ def main(argv=None):
 
     p_idx = sub.add_parser("index", help="build index")
     _add_sketch_args(p_idx)
-    p_idx.add_argument("--index", required=True, help="index output prefix")
+    p_idx.add_argument("--index", "-i", required=True, help="index output prefix")
 
     p_map = sub.add_parser("mapDirectly", help="map reads (index built on the fly)")
     _add_sketch_args(p_map)
     _add_query_args(p_map)
 
     p_mai = sub.add_parser("mapAgainstIndex", help="map reads against a stored index")
-    p_mai.add_argument("--index", required=True)
+    p_mai.add_argument("--index", "-i", required=True)
     _add_query_args(p_mai)
 
     for name in ("classify", "classifyU"):

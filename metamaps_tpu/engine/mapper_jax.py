@@ -1,18 +1,19 @@
 """Batched device mapping engine.
 
 Drives the kernels in metamaps_tpu.ops.batch_map over length-bucketed read
-batches in a two-phase pipeline:
+batches in a three-phase routed pipeline:
 
-  phase 1  one dispatch per read chunk: sketch + L1 + per-candidate
-           occurrence counts (map_batch_stage1);
-  phase 2  per chunk, the (small) stage-1 outputs are fetched and every
-           real candidate is routed to an L2 kernel compiled for the
-           smallest sufficient range capacity (batch_l2_gather) — the L2
-           event matmul costs O(range^2 * sketch), so sizing the compiled
-           shape to the candidate instead of the worst case is a 4-15x
-           saving for typical reads;
+  phase 1a one dispatch per read chunk: sketch + index lookup
+           (map_batch_stage1a); only the tiny per-read hit totals are
+           fetched;
+  phase 1b each read is routed to an expansion kernel compiled for the
+           smallest sufficient hit capacity (map_batch_stage1b) — the
+           expansion sorts/gathers/detector all scale with H;
+  phase 2  per chunk, candidates are routed to an L2 kernel compiled for
+           the smallest sufficient (range, sketch-column) capacity
+           (batch_l2_gather) — L2 cost scales with both;
   phase 3  L2 slab outputs are fetched and assembled; acceptance
-           statistics (CI bounds) and strand votes run on host.
+           statistics (CI bounds) run on host, strand votes on device.
 
 All dispatches of a phase are enqueued before the first fetch of the next,
 so device compute overlaps transfers and host post-processing. Reads that
@@ -76,18 +77,26 @@ def _l2_range_buckets(range_max: int) -> List[int]:
     return rs
 
 
+def _l1_h_tiers(h_max: int) -> List[int]:
+    """Hit-capacity ladder for the expansion stage (cost ~ sort width H)."""
+    return [h for h in (512, 1024, 2048) if h < h_max] + [h_max]
+
+
 def _l2_slab_k(r: int) -> int:
     """Candidates per L2 dispatch for range capacity r. Each dispatch costs
     ~2.5 ms of fixed tunnel/launch overhead, so slabs are sized large (the
-    l2_chunk-sized lax.map inside the kernel bounds peak memory); bigger
-    ranges do more work per slot, so fewer slots bounds padding waste."""
-    return max(16, min(64, 98304 // r))
+    lockstep sweep's cost per candidate is N-independent; its VMEM state
+    planes stay small); bigger ranges do more work per slot, so fewer slots
+    bounds padding waste."""
+    return max(16, min(128, 196608 // r))
 
 
 class JaxMapperEngine:
     """Maps batches of reads against one shard on the default JAX device."""
 
-    CHUNK = 128  # reads per stage-1 dispatch
+    CHUNK = 256  # reads per stage-1 dispatch (two in flight pipelines
+    # fetch round trips against device compute; ~2.5 ms fixed cost per
+    # dispatch favors big chunks)
 
     def __init__(self, shard, params, read_len_buckets: Sequence[int] = (2048, 4096, 8192, 16384, 32768, 65536)):
         self.shard = shard
@@ -122,40 +131,59 @@ class JaxMapperEngine:
             else:
                 by_bucket.setdefault(b, []).append(i)
 
-        # phase 1: enqueue every stage-1 chunk before the first fetch
+        # phase 1a: enqueue every sketch+lookup chunk before the first fetch
         stage1 = []
         for bucket, idxs in by_bucket.items():
             cfg = self._config_for(bucket)
             for i in range(0, len(idxs), self.CHUNK):
                 chunk = idxs[i : i + self.CHUNK]
                 stage1.append(
-                    (bucket, chunk, self._dispatch_stage1(cfg, bucket, chunk, seqs))
+                    (bucket, chunk, self._dispatch_stage1a(cfg, bucket, chunk, seqs))
                 )
 
-        # start async D2H copies for every chunk's stage-1 outputs so the
+        # start async D2H copies of the tiny routing vectors so the
         # per-chunk fetches below pay the tunnel round trip only once
         for _, _, (out, _) in stage1:
-            for a in out[2:]:
+            for a in (out[2], out[3], out[6]):
                 try:
                     a.copy_to_host_async()
                 except Exception:
                     break
 
-        # phase 2: fetch stage-1 per chunk, route candidates, enqueue L2
-        # (q_hash/q_strand stay device-only — strand votes run on device)
-        staged = []
-        for bucket, chunk, (out, lens_d) in stage1:
-            import jax
+        # phase 1b: fetch hit totals per chunk, route reads to H-tier
+        # expansion kernels, enqueue them
+        import jax
 
+        stage1b = []
+        for bucket, chunk, (out, lens_d) in stage1:
             t0 = time.perf_counter()
-            host = jax.device_get(out[2:])
+            s_size, s_ovf, total = jax.device_get((out[2], out[3], out[6]))
             if _PROFILE:
                 print(
-                    f"PROFILE mapper_jax: stage1 fetch bucket={bucket} "
+                    f"PROFILE mapper_jax: stage1a fetch bucket={bucket} "
                     f"B={len(chunk)} {time.perf_counter() - t0:.3f}s",
                     file=sys.stderr,
                 )
             cfg = self._configs[bucket]
+            groups = self._dispatch_stage1b(
+                cfg, bucket, out, lens_d, chunk, s_size, total
+            )
+            stage1b.append(
+                (bucket, chunk, out, lens_d, s_size, s_ovf, total, groups)
+            )
+        for _, _, _, _, _, _, _, groups in stage1b:
+            for _, _, g_out in groups:
+                try:
+                    g_out.copy_to_host_async()
+                except Exception:
+                    break
+
+        # phase 2: fetch expansion outputs, route candidates, enqueue L2
+        # (q_hash/q_strand stay device-only — strand votes run on device)
+        staged = []
+        for bucket, chunk, out, lens_d, s_size, s_ovf, total, groups in stage1b:
+            cfg = self._configs[bucket]
+            host = self._assemble_l1(cfg, chunk, s_size, s_ovf, total, groups)
             fallback, slabs = self._dispatch_l2(cfg, bucket, host, out, lens_d, chunk)
             staged.append((bucket, chunk, host, fallback, slabs))
 
@@ -171,10 +199,10 @@ class JaxMapperEngine:
                           host, fallback, slabs)
         return results
 
-    def _dispatch_stage1(self, cfg, bucket, idxs, seqs):
+    def _dispatch_stage1a(self, cfg, bucket, idxs, seqs):
         import jax.numpy as jnp
 
-        from ..ops.batch_map import map_batch_stage1
+        from ..ops.batch_map import map_batch_stage1a
 
         B = len(idxs)
         # round the batch up to a power of two (capped at CHUNK) so XLA
@@ -191,22 +219,94 @@ class JaxMapperEngine:
             reads[r, : len(seqs[i])] = seqs[i]
             lens[r] = len(seqs[i])
 
-        minhits = _minhits_table(
-            cfg.sketch_max, self.params.kmer_size,
-            float(self.params.percentage_identity),
-        )
         t0 = time.perf_counter()
         reads_d = jnp.asarray(reads)
         lens_d = jnp.asarray(lens)
-        mh_d = jnp.asarray(minhits)
-        out = map_batch_stage1(cfg, self.device_shard, reads_d, lens_d, mh_d)
+        out = map_batch_stage1a(cfg, self.device_shard, reads_d, lens_d)
         if _PROFILE:
             print(
-                f"PROFILE mapper_jax: stage1 dispatch B={b_pad} "
+                f"PROFILE mapper_jax: stage1a dispatch B={b_pad} "
                 f"{time.perf_counter() - t0:.3f}s",
                 file=sys.stderr,
             )
         return out, lens_d
+
+    def _dispatch_stage1b(self, cfg, bucket, dev, lens_d, chunk, s_size, total):
+        """Route reads to H-tier expansion kernels by their lookup totals.
+        Returns [(tier, rows list, device_out [K, 2+4C]), ...]; reads whose
+        totals exceed even cfg.hits_max are left out (oracle fallback via
+        the assembled l1_ovf flag)."""
+        import jax.numpy as jnp
+
+        from ..ops.batch_map import map_batch_stage1b
+
+        minhits = _minhits_table(
+            cfg.sketch_max, self.params.kmer_size,
+            float(self.params.percentage_identity),
+        )
+        mh_d = jnp.asarray(minhits)
+        tiers = _l1_h_tiers(cfg.hits_max)
+        by_tier: Dict[int, List[int]] = {}
+        B = len(chunk)
+        for r in range(B):
+            if total[r] <= cfg.hits_max:
+                tier = next(h for h in tiers if h >= total[r])
+                by_tier.setdefault(tier, []).append(r)
+
+        t0 = time.perf_counter()
+        groups = []
+        for tier, rows in sorted(by_tier.items()):
+            k_pad = 8
+            while k_pad < len(rows):
+                k_pad *= 2
+            k_pad = min(max(k_pad, len(rows)), self.CHUNK)
+            rows_arr = np.zeros(k_pad, np.int32)
+            rows_arr[: len(rows)] = rows
+            cfg_h = dataclasses.replace(cfg, hits_max=tier)
+            g_out = map_batch_stage1b(
+                cfg_h, self.device_shard, jnp.asarray(rows_arr),
+                dev[4], dev[5], dev[2], lens_d, mh_d,
+            )
+            groups.append((tier, rows, g_out))
+        if _PROFILE:
+            print(
+                f"PROFILE mapper_jax: stage1b dispatch B={B} "
+                f"tiers={[(t, len(r)) for t, r, _ in groups]} "
+                f"{time.perf_counter() - t0:.3f}s",
+                file=sys.stderr,
+            )
+        return groups
+
+    def _assemble_l1(self, cfg, chunk, s_size, s_ovf, total, groups):
+        """Fetch the expansion outputs and reassemble per-chunk host arrays
+        in the layout _dispatch_l2 expects."""
+        import jax
+
+        B = len(chunk)
+        C = cfg.cands_max
+        c_seq = np.full((B, C), -1, np.int32)
+        c_start = np.zeros((B, C), np.int32)
+        c_end = np.zeros((B, C), np.int32)
+        n_c = np.zeros(B, np.int32)
+        n_occ = np.zeros((B, C), np.int32)
+        l1_ovf = np.asarray(total) > cfg.hits_max
+        t0 = time.perf_counter()
+        fetched = jax.device_get([g for _, _, g in groups])
+        for (tier, rows, _), arr in zip(groups, fetched):
+            for t, r in enumerate(rows):
+                n_c[r] = arr[t, 0]
+                l1_ovf[r] = l1_ovf[r] | bool(arr[t, 1])
+                c_seq[r] = arr[t, 2 : 2 + C]
+                c_start[r] = arr[t, 2 + C : 2 + 2 * C]
+                c_end[r] = arr[t, 2 + 2 * C : 2 + 3 * C]
+                n_occ[r] = arr[t, 2 + 3 * C : 2 + 4 * C]
+        if _PROFILE:
+            print(
+                f"PROFILE mapper_jax: stage1b fetch B={B} "
+                f"{time.perf_counter() - t0:.3f}s",
+                file=sys.stderr,
+            )
+        return (s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ)
 
     def _dispatch_l2(self, cfg, bucket, host, dev, lens_d, chunk):
         """Route each real candidate to the smallest sufficient L2 range

@@ -89,25 +89,36 @@ def build_uniq_tables(hash_sorted: np.ndarray, nb_bits: int = None):
 
 LOOKUP_KMAX = 8  # max bucket size for the bisection-free lookup path
 LOOKUP_NB_CAP = 26  # directory width cap: 2^26 * 4 B = 256 MB
+LOOKUP_U_CAP = (1 << 28) - 1  # dir_packed holds lo in 28 bits + count in 4
 
 
-def build_block_tables(uniq: np.ndarray, uniq_start: np.ndarray):
-    """Aligned 8-block layouts of the unique-hash table for the
-    bisection-free lookup: keys8 [ceil(U/8)+1, 8] uint32 (padded U32_MAX)
-    and starts8 [ceil((U+1)/8)+1, 8] int32 (padded with uniq_start[-1]).
+def build_block_tables(uniq: np.ndarray, uniq_start: np.ndarray,
+                       bucket_start: np.ndarray):
+    """Packed layouts for the bisection-free lookup:
 
-    A bucket [lo, hi) with hi-lo <= 8 spans at most rows lo//8 and lo//8+1
-    of keys8; entries g in [lo, hi) and their successor starts g+1 all fall
-    in starts8 rows lo//8 and lo//8+1 (indices 8*(lo//8) .. 8*(lo//8)+15)."""
+    - kv16 [ceil(U/8)+2, 16] uint32: row r = (uniq[8r:8r+8],
+      uniq_start[8r:8r+8]) — keys and starts fetched together in one
+      aligned row gather (keys padded U32_MAX, starts padded with
+      uniq_start[-1]);
+    - dir_packed [NB] uint32: bucket lo index in bits 0..27, bucket size
+      (<= 8) in bits 28..31 — one lane gather replaces two.
+
+    A bucket [lo, hi) with hi-lo <= 8 spans at most rows lo//8 and lo//8+1;
+    entries g in [lo, hi) and their successor starts g+1 all fall in those
+    two rows (indices 8*(lo//8) .. 8*(lo//8)+15)."""
     U = len(uniq)
     rows_k = U // 8 + 2
-    keys8 = np.full((rows_k, 8), U32_MAX, np.uint32)
-    keys8.reshape(-1)[:U] = uniq
-    n_s = len(uniq_start)
-    rows_s = (n_s - 1) // 8 + 2
-    starts8 = np.full((rows_s, 8), uniq_start[-1], np.int32)
-    starts8.reshape(-1)[:n_s] = uniq_start
-    return keys8, starts8
+    kv16 = np.empty((rows_k, 16), np.uint32)
+    keys_flat = np.full(rows_k * 8, U32_MAX, np.uint32)
+    keys_flat[:U] = uniq
+    starts_flat = np.full(rows_k * 8, uniq_start[-1], np.uint32)
+    starts_flat[: len(uniq_start)] = uniq_start.astype(np.uint32)
+    kv16[:, :8] = keys_flat.reshape(rows_k, 8)
+    kv16[:, 8:] = starts_flat.reshape(rows_k, 8)
+    lo = bucket_start[:-1].astype(np.uint32)
+    cnt = (bucket_start[1:] - bucket_start[:-1]).astype(np.uint32)
+    dir_packed = lo | (cnt << np.uint32(28))
+    return kv16, dir_packed
 
 
 @dataclass(frozen=True)
@@ -185,8 +196,8 @@ def _round_up(x, m):
         "uniq_hash",
         "uniq_start",
         "bucket_start",
-        "keys8",
-        "starts8",
+        "kv16",
+        "dir_packed",
     ],
     meta_fields=["freq_threshold", "bucket_shift", "bisect_steps", "lookup_mode"],
 )
@@ -201,13 +212,15 @@ class DeviceShard:
 
     - ``pair_byhash`` [M, 2]: (seqid, wpos) in hash order — one row gather
       per hit instead of two table gathers;
-    - ``keys8``/``starts8``: the unique-hash table in aligned 8-blocks. The
-      radix directory is sized at build time so every bucket holds <= 8
-      unique hashes (build_uniq_tables), hence a bucket spans at most two
-      consecutive 8-blocks and a lookup is 2 directory lane gathers + 2 key
-      row gathers + 2 start row gathers — no bisection (``lookup_mode ==
-      'block8'``). For pathological distributions where no directory width
-      under the memory cap achieves bucket <= 8, ``lookup_mode == 'bisect'``
+    - ``kv16``/``dir_packed``: the unique-hash table in packed aligned
+      8-blocks (keys and starts in one 16-wide row; bucket lo + size in one
+      directory word — see build_block_tables). The radix directory is sized
+      at build time so every bucket holds <= 8 unique hashes
+      (build_uniq_tables), hence a bucket spans at most two consecutive
+      blocks and a lookup is 1 directory lane gather + 2 packed row gathers
+      — no bisection (``lookup_mode == 'block8'``). For pathological
+      distributions where no directory width under the memory cap achieves
+      bucket <= 8 (or > 2^28 unique hashes), ``lookup_mode == 'bisect'``
       falls back to per-bucket binary search over uniq_hash/uniq_start."""
 
     hash_sorted: jnp.ndarray  # [M] uint32
@@ -216,11 +229,11 @@ class DeviceShard:
     hash_pos: jnp.ndarray  # [M] uint32 (position order)
     strand_pos: jnp.ndarray  # [M] int8 (position order)
     contig_offsets: jnp.ndarray  # [n_contigs+1] int32
-    uniq_hash: jnp.ndarray  # [U] uint32 (sorted unique index hashes)
-    uniq_start: jnp.ndarray  # [U+1] int32 (CSR offsets into hash order)
-    bucket_start: jnp.ndarray  # [NB+1] int32 (directory over top hash bits)
-    keys8: jnp.ndarray  # [ceil(U/8)+1, 8] uint32 aligned key blocks
-    starts8: jnp.ndarray  # [ceil((U+1)/8)+1, 8] int32 aligned start blocks
+    uniq_hash: jnp.ndarray  # [U] uint32 (sorted; dummy in block8 mode)
+    uniq_start: jnp.ndarray  # [U+1] int32 (CSR; dummy in block8 mode)
+    bucket_start: jnp.ndarray  # [NB+1] int32 (dummy in block8 mode)
+    kv16: jnp.ndarray  # [ceil(U/8)+2, 16] uint32 (dummy in bisect mode)
+    dir_packed: jnp.ndarray  # [NB] uint32 (dummy in bisect mode)
     freq_threshold: int
     bucket_shift: int  # hash >> shift = bucket id
     bisect_steps: int  # bisection iterations within a bucket (fallback path)
@@ -231,8 +244,17 @@ class DeviceShard:
         uniq, uniq_start, bucket_start, shift, steps = build_uniq_tables(
             np.asarray(shard.hash_sorted, dtype=np.uint32)
         )
-        keys8, starts8 = build_block_tables(uniq, uniq_start)
         max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
+        block8 = max_bucket <= LOOKUP_KMAX and len(uniq) <= LOOKUP_U_CAP
+        if block8:
+            kv16, dir_packed = build_block_tables(uniq, uniq_start, bucket_start)
+            # the bisect tables are dead in this mode; don't ship them to HBM
+            uniq = np.zeros(1, np.uint32)
+            uniq_start = np.zeros(2, np.int32)
+            bucket_start = np.zeros(2, np.int32)
+        else:
+            kv16 = np.zeros((1, 16), np.uint32)
+            dir_packed = np.zeros(1, np.uint32)
         pair = np.stack(
             [np.asarray(shard.seqid_byhash, np.int32),
              np.asarray(shard.wpos_byhash, np.int32)], axis=1,
@@ -247,12 +269,12 @@ class DeviceShard:
             uniq_hash=jnp.asarray(uniq),
             uniq_start=jnp.asarray(uniq_start),
             bucket_start=jnp.asarray(bucket_start),
-            keys8=jnp.asarray(keys8),
-            starts8=jnp.asarray(starts8),
+            kv16=jnp.asarray(kv16),
+            dir_packed=jnp.asarray(dir_packed),
             freq_threshold=int(shard.freq_threshold),
             bucket_shift=shift,
             bisect_steps=steps,
-            lookup_mode="block8" if max_bucket <= LOOKUP_KMAX else "bisect",
+            lookup_mode="block8" if block8 else "bisect",
         )
 
 
@@ -314,57 +336,37 @@ def batch_sketch(cfg: MapKernelConfig, reads, read_lens):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
-             read_lens, minhits_table, freq_threshold=None):
-    """L1 candidate regions per read.
+def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
+                 freq_threshold=None):
+    """Index lookup of every sketch hash: radix directory + aligned 8-block
+    probe (2 lane gathers + 4 row gathers per query, no bisection — see
+    DeviceShard docstring; 'bisect' mode is the fallback for pathological
+    hash distributions). ``freq_threshold`` overrides the shard's static
+    threshold with a traced scalar (sharded path).
 
-    minhits_table [S+1] int32: estimateMinimumHitsRelaxed per sketch size
-    (host-precomputed, scipy). ``freq_threshold`` overrides the shard's
-    static threshold with a traced scalar (sharded path).
-
-    Returns (cand_seq, cand_start, cand_end) [B, C] int32 (padded -1),
-    n_cands [B], overflow [B] bool.
-
-    TPU formulation (semantically identical to computeL1CandidateRegions,
-    computeMap.hpp:346-386, and bit-checked against the serial oracle):
-
-    - hash lookup = radix directory + aligned 8-block probe (2 lane gathers
-      + 4 row gathers per query, no bisection — see DeviceShard docstring;
-      'bisect' mode is the fallback for pathological hash distributions);
-    - CSR hit expansion = a merge-via-sort: run-start markers and hit slots
-      are co-sorted, run payloads (table start / CSR offset, both
-      nondecreasing) are spread to slots with running maxima, and the slots
-      are extracted with one stable sort — no batched searchsorted;
-    - the run-of-minimumHits detector selects the (m-1)-shifted neighbor via
-      a one-hot sum over static shifts (m <= MINHITS_SHIFT_MAX, else the
-      read is flagged for host fallback);
-    - overlap-merge bookkeeping uses a segmented running max (contig-id
-      segments) instead of index gathers, and the per-region reduction is a
-      one-hot masked min/max over the C candidate slots.
+    Returns (start [B, S] int32, count [B, S] int32, total [B] int32) —
+    counts zeroed for missing hashes, padded queries, and hashes at/above
+    the frequency threshold; ``total`` drives the host's H-tier routing of
+    the expansion stage.
     """
-    H, C, S = cfg.hits_max, cfg.cands_max, cfg.sketch_max
-    B = q_hash.shape[0]
     thr = shard.freq_threshold if freq_threshold is None else freq_threshold
     U = shard.uniq_hash.shape[0]
-
-    # ---- lookup: bucket directory + aligned 8-block probe ----------------
     b = (q_hash >> shard.bucket_shift).astype(jnp.int32)
-    lo = shard.bucket_start[b]
-    hi = shard.bucket_start[b + 1]
 
     if shard.lookup_mode == "block8":
-        # bucket spans at most two aligned 8-blocks (build guarantees
-        # hi - lo <= 8): fetch key rows r0/r0+1 and start rows r0/r0+1,
-        # then select the matching entry with vector compares
+        # one packed directory gather gives (lo, bucket size <= 8); the
+        # bucket spans at most two aligned 8-blocks whose packed rows carry
+        # keys AND starts, so a lookup is 3 gathers total
+        d = shard.dir_packed[b]
+        lo = (d & jnp.uint32(0x0FFFFFFF)).astype(jnp.int32)
+        hi = lo + (d >> jnp.uint32(28)).astype(jnp.int32)
         r0 = lo >> 3
-        k16 = jnp.concatenate(
-            [jnp.take(shard.keys8, r0, axis=0),
-             jnp.take(shard.keys8, r0 + 1, axis=0)], axis=-1,
-        )  # [B, S, 16]
-        s16 = jnp.concatenate(
-            [jnp.take(shard.starts8, r0, axis=0),
-             jnp.take(shard.starts8, r0 + 1, axis=0)], axis=-1,
-        )  # [B, S, 16]
+        row0 = jnp.take(shard.kv16, r0, axis=0)  # [B, S, 16]
+        row1 = jnp.take(shard.kv16, r0 + 1, axis=0)
+        k16 = jnp.concatenate([row0[..., :8], row1[..., :8]], axis=-1)
+        s16 = jnp.concatenate([row0[..., 8:], row1[..., 8:]], axis=-1).astype(
+            jnp.int32
+        )
         g = (r0 << 3)[..., None] + jnp.arange(16, dtype=jnp.int32)
         m = (k16 == q_hash[..., None]) & (g >= lo[..., None]) & (g < hi[..., None])
         found = m.any(axis=-1)
@@ -374,6 +376,9 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
         nxt = jnp.concatenate([s16[..., 1:], s16[..., :1]], axis=-1)
         count = jnp.sum(jnp.where(m, nxt - s16, 0), axis=-1).astype(jnp.int32)
     else:
+        lo = shard.bucket_start[b]
+        hi = shard.bucket_start[b + 1]
+
         def bisect_body(_, lh):
             lo_, hi_ = lh
             mid = (lo_ + hi_) // 2
@@ -392,6 +397,35 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
         ).astype(jnp.int32)
     valid_q = q_hash != U32_MAX
     count = jnp.where(valid_q & found & (count < thr), count, 0)
+    return start, count, jnp.sum(count, axis=1, dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batch_l1_expand(cfg: MapKernelConfig, shard: DeviceShard, start, count,
+                    sketch_size, read_lens, minhits_table):
+    """Hit expansion + candidate detection for looked-up reads, sized to
+    cfg.hits_max — the host routes reads here by their lookup ``total`` so
+    the expansion sorts/gathers run at the smallest sufficient H tier.
+
+    Returns (cand_seq, cand_start, cand_end) [B, C] int32 (padded -1),
+    n_cands [B], overflow [B] bool.
+
+    TPU formulation (semantically identical to computeL1CandidateRegions,
+    computeMap.hpp:346-386, and bit-checked against the serial oracle):
+
+    - CSR hit expansion = a merge-via-sort: run-start markers and hit slots
+      are co-sorted, run payloads (table start / CSR offset, both
+      nondecreasing) are spread to slots with running maxima, and the slots
+      are extracted with one stable sort — no batched searchsorted;
+    - the run-of-minimumHits detector selects the (m-1)-shifted neighbor via
+      a one-hot sum over static shifts (m <= MINHITS_SHIFT_MAX, else the
+      read is flagged for host fallback);
+    - overlap-merge bookkeeping uses a segmented running max (contig-id
+      segments) instead of index gathers, and the per-region reduction is a
+      one-hot masked min/max over the C candidate slots.
+    """
+    H, C, S = cfg.hits_max, cfg.cands_max, cfg.sketch_max
+    B = start.shape[0]
 
     # ---- CSR expansion to H hit slots via merge-sort ---------------------
     offsets = jnp.cumsum(count, axis=1)
@@ -504,6 +538,18 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
         )
     n_r = jnp.minimum(n_regions, C).astype(jnp.int32)
     return r_seq, r_start, r_end, n_r, overflow | region_overflow | m_ovf
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
+             read_lens, minhits_table, freq_threshold=None):
+    """L1 candidate regions per read: lookup + expansion in one dispatch at
+    the config's worst-case H (the engine's pipelined path splits the two
+    and routes reads to right-sized expansion tiers instead)."""
+    start, count, _ = batch_lookup(cfg, shard, q_hash, freq_threshold)
+    return batch_l1_expand(
+        cfg, shard, start, count, sketch_size, read_lens, minhits_table
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -687,9 +733,15 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard,
         qrank = jnp.concatenate([qrank_h[:R], qrank_h[:R]])
         in_q = jnp.concatenate([inq_h[:R] > 0, inq_h[:R] > 0])
 
-        # grid of iterator stops: x_r and x_r - L + 1
-        grid = jnp.concatenate([occ_w, a_r])
-        grid = jnp.sort(jnp.where(jnp.concatenate([occ_v, occ_v]), grid, I32_MAX))
+        # grid of iterator stops: x_r and x_r - L + 1 (when rows were
+        # computed, the rank sort already sorted this exact multiset)
+        if need_rows:
+            grid = v_s2
+        else:
+            grid = jnp.concatenate([occ_w, a_r])
+            grid = jnp.sort(
+                jnp.where(jnp.concatenate([occ_v, occ_v]), grid, I32_MAX)
+            )
         grid_valid = (grid >= p0) & (grid <= p_max) & (grid != I32_MAX)
 
         return dict(
@@ -929,6 +981,63 @@ def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
     one = _make_l2_one(cfg, shard)
     flat = (q_hash, sketch_size, read_lens, cand_seq, cand_start, cand_end)
     return jax.lax.map(lambda xs: one(*xs), flat, batch_size=cfg.l2_chunk)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def map_batch_stage1a(cfg: MapKernelConfig, shard: DeviceShard, reads,
+                      read_lens):
+    """Sketch + index lookup in one dispatch. The host fetches only the tiny
+    per-read vectors (sketch size/overflow, hit total) and routes each read
+    to a right-sized expansion tier (map_batch_stage1b) — the expansion
+    sorts, hit gathers, and detector all scale with the H capacity.
+
+    Returns (q_hash [B,S], q_strand [B,S], sketch_size [B], sketch_ovf [B],
+    start [B,S], count [B,S], total [B])."""
+    q_hash, q_strand, s_size, s_ovf = batch_sketch(cfg, reads, read_lens)
+    start, count, total = batch_lookup(cfg, shard, q_hash)
+    return q_hash, q_strand, s_size, s_ovf, start, count, total
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def map_batch_stage1b(cfg: MapKernelConfig, shard: DeviceShard, rows, start,
+                      count, sketch_size, read_lens, minhits_table):
+    """Expansion + candidate detection + per-candidate occurrence counts for
+    a host-routed row subset, at this cfg's hits_max tier. ``rows`` [K]
+    indexes into the stage-1a batch; start/count/sketch_size/read_lens are
+    the full stage-1a device arrays.
+
+    Returns ONE [K, 2+4C] int32 array — columns (n_c, l1_ovf, c_seq [C],
+    c_start [C], c_end [C], n_occ [C]) — so the fetch is a single buffer."""
+    rows_c = jnp.maximum(rows, 0)
+    st = start[rows_c]
+    ct = count[rows_c]
+    ss = sketch_size[rows_c]
+    rl = read_lens[rows_c]
+    c_seq, c_start, c_end, n_c, ovf = batch_l1_expand(
+        cfg, shard, st, ct, ss, rl, minhits_table
+    )
+
+    def occ_one(cs, cst, cen, rlen):
+        valid = cs >= 0
+        csq = jnp.maximum(cs, 0)
+        lo = shard.contig_offsets[csq]
+        hi = shard.contig_offsets[csq + 1]
+        beg0 = _bisect_range(shard.wpos, lo, hi, cst)
+        last_end = _bisect_range(shard.wpos, lo, hi, cen + rlen)
+        return jnp.where(valid, last_end - beg0, 0).astype(jnp.int32)
+
+    n_occ = jax.vmap(
+        lambda cs, cst, cen, rlen: jax.vmap(
+            lambda a, b, c: occ_one(a, b, c, rlen)
+        )(cs, cst, cen)
+    )(c_seq, c_start, c_end, rl)
+    return jnp.concatenate(
+        [
+            n_c[:, None], ovf.astype(jnp.int32)[:, None],
+            c_seq, c_start, c_end, n_occ,
+        ],
+        axis=1,
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -96,7 +96,7 @@ def stack_shards(parts: List[SketchShard]):
     # unique-hash tables with a COMMON directory width across shards (the
     # bucket_shift/bisect_steps/lookup_mode are static metadata shared by
     # every device)
-    from ..ops.batch_map import LOOKUP_KMAX, build_block_tables
+    from ..ops.batch_map import LOOKUP_KMAX, LOOKUP_U_CAP, build_block_tables
 
     uniq_parts = []
     nb_bits = min(
@@ -115,7 +115,8 @@ def stack_shards(parts: List[SketchShard]):
             max_bucket = max(max_bucket, int(np.max(np.diff(bucket_start))))
         uniq_parts.append((uniq, uniq_start, bucket_start))
     u_max = max(len(u) for u, _, _ in uniq_parts)
-    u_hash, u_start, b_start, k8s, s8s = [], [], [], [], []
+    block8 = max_bucket <= LOOKUP_KMAX and u_max <= LOOKUP_U_CAP
+    u_hash, u_start, b_start, kv16s, dirps = [], [], [], [], []
     for (uniq, uniq_start, bucket_start), p in zip(uniq_parts, parts):
         uq = pad1(uniq, u_max, np.uint32(0xFFFFFFFF))
         u_hash.append(uq)
@@ -125,9 +126,13 @@ def stack_shards(parts: List[SketchShard]):
         # directory end indices clamp to this shard's unique count
         bs = np.minimum(bucket_start, np.int32(len(uniq)))
         b_start.append(bs)
-        k8, s8 = build_block_tables(uq, us)
-        k8s.append(k8)
-        s8s.append(s8)
+        if block8:
+            kv16, dirp = build_block_tables(uq, us, bs)
+            kv16s.append(kv16)
+            dirps.append(dirp)
+        else:
+            kv16s.append(np.zeros((1, 16), np.uint32))
+            dirps.append(np.zeros(1, np.uint32))
 
     for p in parts:
         arrs["hash_sorted"].append(pad1(p.hash_sorted, m_max, np.uint32(0xFFFFFFFF)))
@@ -146,12 +151,12 @@ def stack_shards(parts: List[SketchShard]):
     arrs["uniq_hash"] = u_hash
     arrs["uniq_start"] = u_start
     arrs["bucket_start"] = b_start
-    arrs["keys8"] = k8s
-    arrs["starts8"] = s8s
+    arrs["kv16"] = kv16s
+    arrs["dir_packed"] = dirps
     out = {k: jnp.asarray(np.stack(v)) for k, v in arrs.items()}
     out["bucket_shift"] = 32 - nb_bits
     out["bisect_steps"] = steps_common
-    out["lookup_mode"] = "block8" if max_bucket <= LOOKUP_KMAX else "bisect"
+    out["lookup_mode"] = "block8" if block8 else "bisect"
     return out
 
 
@@ -174,8 +179,8 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     ax_shard, ax_data = mesh.axis_names
 
     def local(hash_sorted, pair_byhash, wpos, hash_pos, strand_pos,
-              contig_offsets, uniq_hash, uniq_start, bucket_start, keys8,
-              starts8, freq_thr, reads_l, lens_l, minhits):
+              contig_offsets, uniq_hash, uniq_start, bucket_start, kv16,
+              dir_packed, freq_thr, reads_l, lens_l, minhits):
         # leading shard axis of size 1 inside the shard_map body
         shard = DeviceShard(
             hash_sorted=hash_sorted[0],
@@ -187,8 +192,8 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             uniq_hash=uniq_hash[0],
             uniq_start=uniq_start[0],
             bucket_start=bucket_start[0],
-            keys8=keys8[0],
-            starts8=starts8[0],
+            kv16=kv16[0],
+            dir_packed=dir_packed[0],
             freq_threshold=0,  # unused; traced override below
             bucket_shift=stacked["bucket_shift"],
             bisect_steps=stacked["bisect_steps"],
@@ -233,7 +238,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
         stacked["hash_sorted"], stacked["pair_byhash"],
         stacked["wpos"], stacked["hash_pos"], stacked["strand_pos"],
         stacked["contig_offsets"], stacked["uniq_hash"], stacked["uniq_start"],
-        stacked["bucket_start"], stacked["keys8"], stacked["starts8"],
+        stacked["bucket_start"], stacked["kv16"], stacked["dir_packed"],
         stacked["freq_threshold"].reshape(-1, 1),
         reads, read_lens, minhits_table,
     )
