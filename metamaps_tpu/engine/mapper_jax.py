@@ -3,12 +3,14 @@
 Drives the kernels in metamaps_tpu.ops.batch_map over length-bucketed read
 batches in a three-phase routed pipeline:
 
-  phase 1a one dispatch per read chunk: sketch + index lookup
-           (map_batch_stage1a); only the tiny per-read hit totals are
-           fetched;
-  phase 1b each read is routed to an expansion kernel compiled for the
-           smallest sufficient hit capacity (map_batch_stage1b) — the
-           expansion sorts/gathers/detector all scale with H;
+  phase 1  per read chunk: sketch + index lookup (map_batch_stage1a)
+           immediately followed by a SPECULATIVE expansion
+           (map_batch_stage1b) at the bucket's adaptive default hit
+           capacity — no fetch sits on the critical path between them.
+           Reads whose hit totals exceed the speculative tier are
+           re-expanded at the right tier after the combined fetch (rare;
+           the tier tracks the previous chunk's maximum). The expansion
+           sorts/gathers/detector all scale with H;
   phase 2  per chunk, candidates are routed to an L2 kernel compiled for
            the smallest sufficient (range, sketch-column) capacity
            (batch_l2_gather) — L2 cost scales with both;
@@ -104,6 +106,8 @@ class JaxMapperEngine:
         self.device_shard = DeviceShard.from_host(shard)
         self.buckets = tuple(sorted(read_len_buckets))
         self._configs: Dict[int, MapKernelConfig] = {}
+        # adaptive speculative expansion tier per bucket (phase 1a+1b)
+        self._spec_tier: Dict[int, int] = {}
 
     def _config_for(self, bucket: int) -> MapKernelConfig:
         if bucket not in self._configs:
@@ -131,54 +135,75 @@ class JaxMapperEngine:
             else:
                 by_bucket.setdefault(b, []).append(i)
 
-        # phase 1a: enqueue every sketch+lookup chunk before the first fetch
+        # phase 1a+1b: per chunk, enqueue sketch+lookup immediately followed
+        # by a SPECULATIVE expansion at the bucket's adaptive default H tier
+        # (rows = all reads) — no fetch sits between them, so the device
+        # stays busy and the routing information rides along with the
+        # expansion outputs in one combined fetch. Reads whose hit totals
+        # exceed the speculative tier are re-expanded at the right tier
+        # afterwards (rare; the tier adapts to the previous chunk's maximum).
+        import jax
+
         stage1 = []
         for bucket, idxs in by_bucket.items():
             cfg = self._config_for(bucket)
             for i in range(0, len(idxs), self.CHUNK):
                 chunk = idxs[i : i + self.CHUNK]
-                stage1.append(
-                    (bucket, chunk, self._dispatch_stage1a(cfg, bucket, chunk, seqs))
+                out, lens_d = self._dispatch_stage1a(cfg, bucket, chunk, seqs)
+                tier0 = self._spec_tier.get(bucket, 1024)
+                spec = self._dispatch_stage1b_rows(
+                    cfg, bucket, out, lens_d, None, tier0
                 )
+                stage1.append((bucket, chunk, out, lens_d, tier0, spec))
 
-        # start async D2H copies of the tiny routing vectors so the
-        # per-chunk fetches below pay the tunnel round trip only once
-        for _, _, (out, _) in stage1:
-            for a in (out[2], out[3], out[6]):
+        for _, _, out, _, _, spec in stage1:
+            for a in (out[2], out[3], out[6], spec):
                 try:
                     a.copy_to_host_async()
                 except Exception:
                     break
 
-        # phase 1b: fetch hit totals per chunk, route reads to H-tier
-        # expansion kernels, enqueue them
-        import jax
-
+        # phase 1c: one combined fetch per chunk; escalate overflowing reads
         stage1b = []
-        for bucket, chunk, (out, lens_d) in stage1:
+        for bucket, chunk, out, lens_d, tier0, spec in stage1:
             t0 = time.perf_counter()
-            s_size, s_ovf, total = jax.device_get((out[2], out[3], out[6]))
+            s_size, s_ovf, total, spec_h = jax.device_get(
+                (out[2], out[3], out[6], spec)
+            )
             if _PROFILE:
                 print(
-                    f"PROFILE mapper_jax: stage1a fetch bucket={bucket} "
+                    f"PROFILE mapper_jax: stage1 fetch bucket={bucket} "
                     f"B={len(chunk)} {time.perf_counter() - t0:.3f}s",
                     file=sys.stderr,
                 )
             cfg = self._configs[bucket]
-            groups = self._dispatch_stage1b(
-                cfg, bucket, out, lens_d, chunk, s_size, total
-            )
+            groups = [(tier0, list(range(len(chunk))), spec_h)]
+            esc = [
+                r for r in range(len(chunk))
+                if tier0 < total[r] <= cfg.hits_max
+            ]
+            if esc:
+                tiers = _l1_h_tiers(cfg.hits_max)
+                tier1 = next(h for h in tiers if h >= max(total[r] for r in esc))
+                g_out = self._dispatch_stage1b_rows(
+                    cfg, bucket, out, lens_d, esc, tier1
+                )
+                groups.append((tier1, esc, jax.device_get(g_out)))
+                if _PROFILE:
+                    print(
+                        f"PROFILE mapper_jax: stage1b escalation "
+                        f"tier={tier1} n={len(esc)}",
+                        file=sys.stderr,
+                    )
+            # adapt the speculative tier to this chunk's observed need
+            tiers = _l1_h_tiers(cfg.hits_max)
+            need = int(min(max(total.max(), 1), cfg.hits_max))
+            self._spec_tier[bucket] = next(h for h in tiers if h >= need)
             stage1b.append(
                 (bucket, chunk, out, lens_d, s_size, s_ovf, total, groups)
             )
-        for _, _, _, _, _, _, _, groups in stage1b:
-            for _, _, g_out in groups:
-                try:
-                    g_out.copy_to_host_async()
-                except Exception:
-                    break
 
-        # phase 2: fetch expansion outputs, route candidates, enqueue L2
+        # phase 2: route candidates, enqueue L2
         # (q_hash/q_strand stay device-only — strand votes run on device)
         staged = []
         for bucket, chunk, out, lens_d, s_size, s_ovf, total, groups in stage1b:
@@ -231,11 +256,10 @@ class JaxMapperEngine:
             )
         return out, lens_d
 
-    def _dispatch_stage1b(self, cfg, bucket, dev, lens_d, chunk, s_size, total):
-        """Route reads to H-tier expansion kernels by their lookup totals.
-        Returns [(tier, rows list, device_out [K, 2+4C]), ...]; reads whose
-        totals exceed even cfg.hits_max are left out (oracle fallback via
-        the assembled l1_ovf flag)."""
+    def _dispatch_stage1b_rows(self, cfg, bucket, dev, lens_d, rows, tier):
+        """Enqueue one expansion kernel at the given H tier for ``rows``
+        (None = all reads of the chunk) and return the un-fetched device
+        output [K, 2+4C]."""
         import jax.numpy as jnp
 
         from ..ops.batch_map import map_batch_stage1b
@@ -245,43 +269,33 @@ class JaxMapperEngine:
             float(self.params.percentage_identity),
         )
         mh_d = jnp.asarray(minhits)
-        tiers = _l1_h_tiers(cfg.hits_max)
-        by_tier: Dict[int, List[int]] = {}
-        B = len(chunk)
-        for r in range(B):
-            if total[r] <= cfg.hits_max:
-                tier = next(h for h in tiers if h >= total[r])
-                by_tier.setdefault(tier, []).append(r)
-
+        B = dev[2].shape[0]
+        if rows is None:
+            rows = list(range(B))
+        k_pad = 8
+        while k_pad < len(rows):
+            k_pad *= 2
+        k_pad = min(max(k_pad, len(rows)), max(self.CHUNK, B))
+        rows_arr = np.zeros(k_pad, np.int32)
+        rows_arr[: len(rows)] = rows
+        cfg_h = dataclasses.replace(cfg, hits_max=tier)
         t0 = time.perf_counter()
-        groups = []
-        for tier, rows in sorted(by_tier.items()):
-            k_pad = 8
-            while k_pad < len(rows):
-                k_pad *= 2
-            k_pad = min(max(k_pad, len(rows)), self.CHUNK)
-            rows_arr = np.zeros(k_pad, np.int32)
-            rows_arr[: len(rows)] = rows
-            cfg_h = dataclasses.replace(cfg, hits_max=tier)
-            g_out = map_batch_stage1b(
-                cfg_h, self.device_shard, jnp.asarray(rows_arr),
-                dev[4], dev[5], dev[2], lens_d, mh_d,
-            )
-            groups.append((tier, rows, g_out))
+        g_out = map_batch_stage1b(
+            cfg_h, self.device_shard, jnp.asarray(rows_arr),
+            dev[4], dev[5], dev[2], lens_d, mh_d,
+        )
         if _PROFILE:
             print(
-                f"PROFILE mapper_jax: stage1b dispatch B={B} "
-                f"tiers={[(t, len(r)) for t, r, _ in groups]} "
-                f"{time.perf_counter() - t0:.3f}s",
+                f"PROFILE mapper_jax: stage1b dispatch tier={tier} "
+                f"K={k_pad} {time.perf_counter() - t0:.3f}s",
                 file=sys.stderr,
             )
-        return groups
+        return g_out
 
     def _assemble_l1(self, cfg, chunk, s_size, s_ovf, total, groups):
-        """Fetch the expansion outputs and reassemble per-chunk host arrays
-        in the layout _dispatch_l2 expects."""
-        import jax
-
+        """Reassemble fetched expansion outputs into the per-chunk host
+        arrays _dispatch_l2 expects. Later groups overwrite earlier ones
+        (the escalation pass corrects reads the speculative tier missed)."""
         B = len(chunk)
         C = cfg.cands_max
         c_seq = np.full((B, C), -1, np.int32)
@@ -290,22 +304,17 @@ class JaxMapperEngine:
         n_c = np.zeros(B, np.int32)
         n_occ = np.zeros((B, C), np.int32)
         l1_ovf = np.asarray(total) > cfg.hits_max
-        t0 = time.perf_counter()
-        fetched = jax.device_get([g for _, _, g in groups])
-        for (tier, rows, _), arr in zip(groups, fetched):
+        for tier, rows, arr in groups:
             for t, r in enumerate(rows):
+                if total[r] > tier:
+                    continue  # expanded at too small a tier; a later group
+                    # (or the overflow fallback) covers this read
                 n_c[r] = arr[t, 0]
-                l1_ovf[r] = l1_ovf[r] | bool(arr[t, 1])
+                l1_ovf[r] = bool(arr[t, 1]) or (total[r] > cfg.hits_max)
                 c_seq[r] = arr[t, 2 : 2 + C]
                 c_start[r] = arr[t, 2 + C : 2 + 2 * C]
                 c_end[r] = arr[t, 2 + 2 * C : 2 + 3 * C]
                 n_occ[r] = arr[t, 2 + 3 * C : 2 + 4 * C]
-        if _PROFILE:
-            print(
-                f"PROFILE mapper_jax: stage1b fetch B={B} "
-                f"{time.perf_counter() - t0:.3f}s",
-                file=sys.stderr,
-            )
         return (s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ)
 
     def _dispatch_l2(self, cfg, bucket, host, dev, lens_d, chunk):
