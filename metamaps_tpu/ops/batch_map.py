@@ -314,19 +314,29 @@ def batch_sketch(cfg: MapKernelConfig, reads, read_lens):
         [jnp.ones((B, 1), bool), ks[:, 1:] != ks[:, :-1]], axis=1
     )
     n_unique = uniq.sum(axis=1).astype(jnp.int32)
+    # the compaction sort's cost scales with its width: the first S unique
+    # hashes live in the first 2S sorted columns unless the read is
+    # pathologically duplicate-heavy (flagged for host fallback)
+    W2 = min(nw, 2 * S)
+    if W2 < nw:
+        n_uniq_w2 = uniq[:, :W2].sum(axis=1).astype(jnp.int32)
+        trunc_ovf = n_uniq_w2 < jnp.minimum(n_unique, S)
+        ks, sts, uniq = ks[:, :W2], sts[:, :W2], uniq[:, :W2]
+    else:
+        trunc_ovf = jnp.zeros((B,), bool)
     # compact unique entries to the front: stable sort by the duplicate mask
     # (preserves hash order among uniques)
     _, ks2, sts2 = jax.lax.sort(
         ((~uniq).astype(jnp.int32), ks, sts),
         dimension=1, num_keys=1, is_stable=True,
     )
-    if nw < S:  # tiny read bucket: fewer windows than sketch slots
-        ks2 = jnp.pad(ks2, ((0, 0), (0, S - nw)), constant_values=U32_MAX)
-        sts2 = jnp.pad(sts2, ((0, 0), (0, S - nw)))
+    if W2 < S:  # tiny read bucket: fewer windows than sketch slots
+        ks2 = jnp.pad(ks2, ((0, 0), (0, S - W2)), constant_values=U32_MAX)
+        sts2 = jnp.pad(sts2, ((0, 0), (0, S - W2)))
     slot_valid = jnp.arange(S)[None, :] < n_unique[:, None]
     hs_c = jnp.where(slot_valid, ks2[:, :S], U32_MAX)
     st_c = jnp.where(slot_valid, sts2[:, :S], 0).astype(jnp.int8)
-    overflow = n_unique > S
+    overflow = (n_unique > S) | trunc_ovf
     return hs_c, st_c, jnp.minimum(n_unique, S), overflow
 
 
