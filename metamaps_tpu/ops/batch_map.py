@@ -184,6 +184,51 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
+                       contig_offsets: np.ndarray):
+    """Host-side same-hash chain links over the position-sorted index.
+
+    For entry g (within its contig), with p = previous occurrence of the
+    same hash in the same contig and r = the next one:
+
+    - ``prev_w_same[g]`` = wpos[p] (INT32_MIN if none) — within a candidate
+      window [beg0, last_end), "p is in the window" is exactly
+      prev_w_same[g] >= wpos[beg0] because wpos is strictly increasing per
+      contig;
+    - ``chain_b[g]``     = wpos[p+1] - 1, p's activation-interval end (the
+      position-sorted successor of p is always <= g, hence in-window and
+      in-contig whenever g is);
+    - ``next_w_same[g]`` = wpos[r] (INT32_MAX if none).
+
+    These three arrays let the L2 event construction resolve the reference's
+    duplicate-minimizer semantics (slidingMap.hpp wposR-revision — a hash is
+    active over the union of its occurrences' intervals) with contiguous
+    slices instead of a per-candidate hash sort."""
+    M = len(wpos)
+    wpos = np.asarray(wpos, np.int64)
+    n_contigs = len(contig_offsets) - 1
+    cid = np.repeat(np.arange(n_contigs, dtype=np.int64),
+                    np.diff(np.asarray(contig_offsets, np.int64)))
+    order = np.lexsort((np.arange(M), np.asarray(hash_pos, np.uint32), cid))
+    same = (cid[order[1:]] == cid[order[:-1]]) & (
+        np.asarray(hash_pos)[order[1:]] == np.asarray(hash_pos)[order[:-1]]
+    )
+    prev_idx = np.full(M, -1, np.int64)
+    prev_idx[order[1:][same]] = order[:-1][same]
+    next_idx = np.full(M, -1, np.int64)
+    next_idx[order[:-1][same]] = order[1:][same]
+    has_p = prev_idx >= 0
+    has_n = next_idx >= 0
+    prev_w_same = np.full(M, np.iinfo(np.int32).min, np.int32)
+    prev_w_same[has_p] = wpos[prev_idx[has_p]]
+    chain_b = np.full(M, -2, np.int32)
+    if M:
+        chain_b[has_p] = wpos[np.minimum(prev_idx[has_p] + 1, M - 1)] - 1
+    next_w_same = np.full(M, np.iinfo(np.int32).max, np.int32)
+    next_w_same[has_n] = wpos[next_idx[has_n]]
+    return prev_w_same, chain_b, next_w_same
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -192,6 +237,9 @@ def _round_up(x, m):
         "wpos",
         "hash_pos",
         "strand_pos",
+        "prev_w_same",
+        "chain_b",
+        "next_w_same",
         "contig_offsets",
         "uniq_hash",
         "uniq_start",
@@ -228,6 +276,9 @@ class DeviceShard:
     wpos: jnp.ndarray  # [M] int32 (position order)
     hash_pos: jnp.ndarray  # [M] uint32 (position order)
     strand_pos: jnp.ndarray  # [M] int8 (position order)
+    prev_w_same: jnp.ndarray  # [M] int32 (see build_chain_tables)
+    chain_b: jnp.ndarray  # [M] int32
+    next_w_same: jnp.ndarray  # [M] int32
     contig_offsets: jnp.ndarray  # [n_contigs+1] int32
     uniq_hash: jnp.ndarray  # [U] uint32 (sorted; dummy in block8 mode)
     uniq_start: jnp.ndarray  # [U+1] int32 (CSR; dummy in block8 mode)
@@ -259,12 +310,19 @@ class DeviceShard:
             [np.asarray(shard.seqid_byhash, np.int32),
              np.asarray(shard.wpos_byhash, np.int32)], axis=1,
         )
+        prev_w, chain_b, next_w = build_chain_tables(
+            np.asarray(shard.wpos), np.asarray(shard.hash_pos_order),
+            np.asarray(shard.contig_offsets),
+        )
         return cls(
             hash_sorted=jnp.asarray(shard.hash_sorted),
             pair_byhash=jnp.asarray(pair),
             wpos=jnp.asarray(shard.wpos),
             hash_pos=jnp.asarray(shard.hash_pos_order),
             strand_pos=jnp.asarray(shard.strand),
+            prev_w_same=jnp.asarray(prev_w),
+            chain_b=jnp.asarray(chain_b),
+            next_w_same=jnp.asarray(next_w),
             contig_offsets=jnp.asarray(shard.contig_offsets.astype(np.int32)),
             uniq_hash=jnp.asarray(uniq),
             uniq_start=jnp.asarray(uniq_start),
@@ -583,9 +641,8 @@ def _bisect_range(arr, lo, hi, val, side_right=False):
     return lo_f
 
 
-def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard,
-                          need_rows: bool = False):
-    """Event/grid construction for one candidate, shared by all L2 paths.
+def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
+    """Event/grid construction for one candidate (scatter / matmul paths).
 
     Gather-free (TPU gathers are scalarized): the occurrence window is a
     dynamic_slice + realignment roll; the previous-same-hash chain links come
@@ -649,42 +706,9 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard,
         b_r = jnp.where(occ_v, jnp.minimum(next_w - 1, I32_MAX - 1), -2)
         a_r = jnp.where(occ_v, occ_w - L + 1, -1)
 
-        if need_rows:
-            # rank_left of every x (occ_w) and a (x - L + 1) among the grid
-            # stops, sort-only (a vmapped searchsorted is R*log(R) scalarized
-            # gathers — measured 46 ms per slab): co-sort both families with
-            # their origin index, assign each equal-value run its first
-            # sorted position, and un-permute by a second sort
-            vals = jnp.concatenate(
-                [occ_w, jnp.where(occ_v, occ_w - L + 1, I32_MAX)]
-            )
-            orig = jnp.arange(2 * R, dtype=jnp.int32)
-            v_s2, orig_s2 = jax.lax.sort((vals, orig), num_keys=1)
-            ii2 = jnp.arange(2 * R, dtype=jnp.int32)
-            runstart = jnp.concatenate(
-                [jnp.ones(1, bool), v_s2[1:] != v_s2[:-1]]
-            )
-            runfirst = jax.lax.cummax(jnp.where(runstart, ii2, -1))
-            _, rank_orig = jax.lax.sort((orig_s2, runfirst), num_keys=1)
-            rank_a = rank_orig[R:]
-            # rank_left(next_w): rank of the next position-order occurrence;
-            # for the last valid one, rank of the I32_MAX padding run equals
-            # the valid-stop count automatically
-            row_end_pos = jnp.concatenate(
-                [rank_orig[1:R], jnp.array([2 * R], jnp.int32)]
-            )
-            # (hash, wpos)-sorted occurrences, intervals + grid rows riding
-            # as payloads; padding (U32_MAX, I32_MAX) sorts last, so sorted
-            # slot t is a real occurrence iff t < n_occ. The a value is a
-            # fixed offset of wpos, so it needn't ride the sort
-            h_srt, w_srt, b_srt, ra_srt, re_srt = jax.lax.sort(
-                (occ_h, occ_w, b_r, rank_a, row_end_pos), num_keys=2
-            )
-        else:
-            h_srt, w_srt, b_srt = jax.lax.sort(
-                (occ_h, occ_w, b_r), num_keys=2
-            )
-            ra_srt = re_srt = None
+        h_srt, w_srt, b_srt = jax.lax.sort(
+            (occ_h, occ_w, b_r), num_keys=2
+        )
         a_srt = w_srt - L + 1
         srt_v = occ_v  # same count, sorted to the front
         same_prev = jnp.concatenate(
@@ -703,16 +727,6 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard,
                 jnp.where(chain_valid, jnp.int8(-1), jnp.int8(0)),
             ]
         )
-        if need_rows:
-            # grid-row equivalents of (ev_a left-search, ev_b right-search):
-            # right-search of b = x_next - 1 == left-search of x_next, whose
-            # rank rides in re_srt; a chain's b is its predecessor's
-            ev_row_a = jnp.concatenate([ra_srt, ra_srt])
-            chain_re = jnp.concatenate([jnp.zeros(1, jnp.int32), re_srt[:-1]])
-            ev_row_end = jnp.concatenate([re_srt, chain_re])
-        else:
-            ev_row_a = ev_a
-            ev_row_end = ev_b
 
         # query rank (#sketch hashes < occurrence hash) and membership via a
         # merge of the two sorted lists: occurrence elements sort before
@@ -745,22 +759,201 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard,
         qrank = jnp.concatenate([qrank_h[:R], qrank_h[:R]])
         in_q = jnp.concatenate([inq_h[:R] > 0, inq_h[:R] > 0])
 
-        # grid of iterator stops: x_r and x_r - L + 1 (when rows were
-        # computed, the rank sort already sorted this exact multiset)
-        if need_rows:
-            grid = v_s2
-        else:
-            grid = jnp.concatenate([occ_w, a_r])
-            grid = jnp.sort(
-                jnp.where(jnp.concatenate([occ_v, occ_v]), grid, I32_MAX)
-            )
+        # grid of iterator stops: x_r and x_r - L + 1
+        grid = jnp.concatenate([occ_w, a_r])
+        grid = jnp.sort(
+            jnp.where(jnp.concatenate([occ_v, occ_v]), grid, I32_MAX)
+        )
         grid_valid = (grid >= p0) & (grid <= p_max) & (grid != I32_MAX)
 
         return dict(
             valid_cand=valid_cand, overflow=overflow, beg0=beg0, L=L,
             occ_w=occ_w, grid=grid, grid_valid=grid_valid,
             ev_a=ev_a, ev_b=ev_b, ev_sign=ev_sign, qrank=qrank, in_q=in_q,
-            s=s, ev_row_a=ev_row_a, ev_row_end=ev_row_end,
+            s=s,
+        )
+
+    return setup
+
+
+def _bitonic_merge_sorted(key_x, key_y, pays_x, pays_y):
+    """Merge two equally-sized ASCENDING int32 key arrays (with int32
+    payload tuples) into one sorted array — a bitonic merge network of
+    log2(2R) compare-exchange stages, each expressed as lane rotates +
+    selects (no gathers, no reshape relayouts). ~8x fewer stages than a
+    full jax.lax.sort of the concatenation.
+
+    Non-power-of-two inputs are padded with I32_MAX keys (zero payloads) for
+    the network and truncated back afterwards — valid because the callers'
+    I32_MAX-key events all sort last and are interchangeable no-ops."""
+    r = int(key_x.shape[0])
+    r2 = 1 << (r - 1).bit_length()
+    if r2 != r:
+        pad_k = jnp.full(r2 - r, I32_MAX, key_x.dtype)
+        pad_p = jnp.zeros(r2 - r, jnp.int32)
+        key_x = jnp.concatenate([key_x, pad_k])
+        key_y = jnp.concatenate([key_y, pad_k])
+        pays_x = [jnp.concatenate([p, pad_p]) for p in pays_x]
+        pays_y = [jnp.concatenate([p, pad_p]) for p in pays_y]
+    n = r2 * 2
+    key = jnp.concatenate([key_x, key_y[::-1]])
+    pays = [jnp.concatenate([px, py[::-1]]) for px, py in zip(pays_x, pays_y)]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    d = n // 2
+    while d >= 1:
+        up_k = jnp.roll(key, -d)
+        down_k = jnp.roll(key, d)
+        is_lo = (iota & d) == 0  # first half of its 2d block (d = power of 2)
+        swap_lo = key > up_k
+        swap_hi = down_k > key
+        new_key = jnp.where(
+            is_lo, jnp.minimum(key, up_k), jnp.maximum(key, down_k)
+        )
+        new_pays = []
+        for p in pays:
+            up_p = jnp.roll(p, -d)
+            down_p = jnp.roll(p, d)
+            new_pays.append(jnp.where(
+                is_lo,
+                jnp.where(swap_lo, up_p, p),
+                jnp.where(swap_hi, down_p, p),
+            ))
+        key, pays = new_key, new_pays
+        d //= 2
+    if r2 != r:
+        key = key[: 2 * r]
+        pays = [p[: 2 * r] for p in pays]
+    return key, pays
+
+
+def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
+    """Sort-light event construction for the Pallas sweep, in POSITION space.
+
+    Three structural reductions over :func:`_make_candidate_setup`:
+
+    1. **Chain links come from host-precomputed tables** (build_chain_tables)
+       sliced contiguously with the occurrence window — no per-candidate
+       (hash, wpos) sort.
+    2. **Plus and chain events cancel pairwise.** The reference semantics
+       (a hash is active over the union of its occurrences' activation
+       intervals, slidingMap.hpp) expand to +1 over [a_r, b_r] per
+       occurrence and -1 over [a_r, b_p] per overlapping same-hash pair
+       p < r. For such a pair the two transitions at a_r cancel and p's
+       interval end at b_p+1 hands over to r's net start — so each slot t
+       carries at most ONE transition at key a_t (when no overlapping
+       predecessor) and ONE at key next_w[t] = b_t + 1 (a removal when no
+       overlapping successor). E = 2R total, and BOTH transition families
+       are already ascending in t, so the event stream is one bitonic merge
+       — no event sort.
+    3. **The optimum folds directly over positions.** Every event boundary
+       is an iterator stop and occ_w ⊆ stops, so clamping segments to
+       [p0, p_max] and decoding with "largest occurrence <= p" reproduces
+       the grid-row fold (computeMap.hpp:509-537 tie rules) exactly,
+       without materializing grid ranks.
+    """
+    k, w = cfg.kmer_size, cfg.window_size
+    R = cfg.range_max
+    S = cfg.sketch_max
+    SC = cfg.sketch_cols or S
+
+    def setup(qh, s, rlen, c_seq, c_start, c_end):
+        valid_cand = c_seq >= 0
+        c_seq_c = jnp.maximum(c_seq, 0)
+        lo = shard.contig_offsets[c_seq_c]
+        hi = shard.contig_offsets[c_seq_c + 1]
+        L = rlen - (w - 1) - (k - 1)
+
+        beg0 = _bisect_range(shard.wpos, lo, hi, c_start)
+        last_end = _bisect_range(shard.wpos, lo, hi, c_end + rlen)
+        n_occ = last_end - beg0
+        overflow = n_occ > R
+        n_occ_c = jnp.minimum(n_occ, R)
+        occ_v = jnp.arange(R) < n_occ_c
+
+        M = shard.wpos.shape[0]
+
+        def slice_one(arr, fill):
+            if M < R:
+                arr2 = jnp.concatenate(
+                    [arr, jnp.full(R - M, fill, arr.dtype)]
+                )
+                start2 = jnp.minimum(beg0, 0)
+            else:
+                arr2 = arr
+                start2 = jnp.minimum(beg0, M - R)
+            shift = beg0 - start2
+            return jnp.roll(
+                jax.lax.dynamic_slice(arr2, (start2,), (R,)), -shift
+            )
+
+        occ_w = jnp.where(occ_v, slice_one(shard.wpos, I32_MAX), I32_MAX)
+        occ_h = jnp.where(occ_v, slice_one(shard.hash_pos, U32_MAX), U32_MAX)
+        prev_w = slice_one(shard.prev_w_same, I32_MIN)
+        chb = slice_one(shard.chain_b, np.int32(-2))
+        next_ws = slice_one(shard.next_w_same, I32_MAX)
+
+        empty = n_occ_c <= 0
+        p0 = jnp.where(empty, 0, occ_w[0])
+        w_last = shard.wpos[jnp.maximum(last_end - 1, 0)]
+        p_max = jnp.where(empty, -1, w_last - L)
+
+        next_w = jnp.concatenate([occ_w[1:], jnp.array([I32_MAX])])
+        a_t = occ_w - L + 1
+
+        # query rank (#sketch hashes < occurrence hash) and membership via a
+        # merge-by-sort of occurrence hashes with the (sorted) sketch, the
+        # origin index riding as payload to restore position order
+        orig = jnp.concatenate(
+            [jnp.arange(R, dtype=jnp.int32), jnp.full(SC, I32_MAX, jnp.int32)]
+        )
+        mval = jnp.concatenate([occ_h, qh[:SC]])
+        mtyp = jnp.concatenate(
+            [jnp.zeros(R, jnp.int32), jnp.where(jnp.arange(SC) < s, 1, 2)]
+        )
+        v_s, t_s, o_s = jax.lax.sort((mval, mtyp, orig), num_keys=2)
+        isq = (t_s == 1).astype(jnp.int32)
+        qrank_m = jnp.cumsum(isq) - isq
+
+        def seg_any(aa, bb):
+            va, fa = aa
+            vb, fb = bb
+            return vb, jnp.where(va == vb, jnp.maximum(fa, fb), fb)
+
+        _, anyq_rev = jax.lax.associative_scan(
+            seg_any, (v_s[::-1], isq[::-1])
+        )
+        anyq = anyq_rev[::-1]
+        _, qrank_b, inq_b = jax.lax.sort((o_s, qrank_m, anyq), num_keys=1)
+        qrank = qrank_b[:R]
+        in_q = inq_b[:R] > 0
+
+        # the two transition families (both ascending in t):
+        #   X at a_t: +base, unless an overlapping same-hash predecessor
+        #   exists in the window (chain start cancels it);
+        #   Y at next_w[t] = b_t + 1: -base, unless an overlapping same-hash
+        #   successor exists (handover — the successor's net start).
+        # "p in window" <=> prev_w >= p0, "r in window" <=> next_ws <= w_last
+        # (wpos strictly increasing per contig); overlap <=> a_r <= b_p,
+        # evaluated identically from both sides.
+        base = jnp.where(in_q, jnp.int32(2), jnp.int32(1))
+        chain_prev_ok = occ_v & (prev_w >= p0) & (a_t <= chb)
+        chain_next_ok = (
+            occ_v & (next_ws <= w_last) & (next_ws - L + 1 <= next_w - 1)
+        )
+        x_key = jnp.where(occ_v, a_t, I32_MAX)
+        x_sign = jnp.where(occ_v & ~chain_prev_ok, base, 0)
+        y_key = next_w
+        y_sign = jnp.where(occ_v & ~chain_next_ok, -base, 0)
+
+        ev_key, (ev_sign, ev_qrank) = _bitonic_merge_sorted(
+            x_key, y_key, (x_sign, qrank), (y_sign, qrank)
+        )
+        n_ev = jnp.sum(ev_key != I32_MAX, dtype=jnp.int32)
+
+        return dict(
+            valid_cand=valid_cand, overflow=overflow, beg0=beg0, L=L,
+            occ_w=occ_w, p0=p0, p_max=p_max, s=s, n_ev=n_ev,
+            ev_key=ev_key, ev_sign=ev_sign, ev_qrank=ev_qrank,
         )
 
     return setup
@@ -880,94 +1073,46 @@ def _make_l2_one(cfg: MapKernelConfig, shard: DeviceShard):
 
 def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
                      sketch_size, read_lens, cand_seq, cand_start, cand_end):
-    """Pallas event-sweep path over a whole candidate batch: event/grid
-    construction and position decoding stay in XLA (vmapped); the O(E*S)
-    lockstep sweep + optimum fold run as one pallas_call over the slab."""
+    """Pallas event-sweep path over a whole candidate batch: event
+    construction stays in XLA (vmapped, sort-light — see
+    _make_candidate_setup_pos); the O(E*S) lockstep sweep + optimum fold run
+    as one pallas_call over the slab, directly in position space."""
     from .l2_pallas import l2_event_sweep_batch
 
     S = cfg.sketch_max
     SC = cfg.sketch_cols or S
-    P = 2 * cfg.range_max
-    setup_fn = _make_candidate_setup(cfg, shard, need_rows=True)
+    setup_fn = _make_candidate_setup_pos(cfg, shard)
     st = jax.vmap(setup_fn)(q_hash, sketch_size, read_lens,
                             cand_seq, cand_start, cand_end)
 
-    # sweep events: +1 at the interval's first grid row, -1 one past its
-    # last; the rows were derived by sort during setup (need_rows)
-    row_a = st["ev_row_a"]
-    row_end = st["ev_row_end"]
-    base = jnp.where(st["in_q"], 2, 1) * st["ev_sign"].astype(jnp.int32)
-    rows2 = jnp.concatenate([row_a, row_end], axis=1)
-    signinq2 = jnp.concatenate([base, -base], axis=1)
-    # padding events sort last; beyond n_ev every step is a no-op
-    rows2 = jnp.where(signinq2 != 0, rows2, I32_MAX)
-    n_ev = jnp.sum(signinq2 != 0, axis=1, dtype=jnp.int32)
-    qrank2 = jnp.minimum(
-        jnp.concatenate([st["qrank"], st["qrank"]], axis=1), SC
-    )
-    # one single-key sort carrying both payloads (argsort + take_along_axis
-    # would be three scalarized gather passes): the plus/minus tiebreak is
-    # packed into the key's low bit (plus transitions apply first at equal
-    # rows), padding rows pack as 2P+3 and sort last
-    P2 = jnp.int32(2 * P + 2)
-    is_minus = jnp.concatenate(
-        [jnp.zeros_like(row_a), jnp.ones_like(row_end)], axis=1
-    )
-    key = jnp.where(
-        signinq2 != 0, (rows2 << 1) | is_minus, P2 | 1
-    )
-    key_s, signinq_s, qrank_s = jax.lax.sort(
-        (key, signinq2, qrank2), dimension=1, num_keys=1
-    )
-    rows_s = jnp.where(key_s < P2, key_s >> 1, I32_MAX)
-
-    # live-event cap: transitions beyond it are padding for most slabs; a
-    # candidate whose real transitions exceed the cap falls back to the host
-    if cfg.event_cap:
-        e2_cap = _round_up(min(2 * cfg.event_cap, rows_s.shape[1]), 128)
-    else:
-        e2_cap = rows_s.shape[1]
-    if e2_cap < rows_s.shape[1]:
-        rows_s = rows_s[:, :e2_cap]
-        signinq_s = signinq_s[:, :e2_cap]
-        qrank_s = qrank_s[:, :e2_cap]
-        st["overflow"] = st["overflow"] | (n_ev > e2_cap)
-
-    # valid grid rows form a contiguous range [row_lo, row_hi]
-    gv = st["grid_valid"]
-    any_valid = gv.any(axis=1)
-    row_lo = jnp.argmax(gv, axis=1).astype(jnp.int32)
-    row_hi = (P - 1 - jnp.argmax(gv[:, ::-1], axis=1)).astype(jnp.int32)
-    row_lo = jnp.where(any_valid, row_lo, 1)
-    row_hi = jnp.where(any_valid, row_hi, 0)
     meta = jnp.stack(
-        [sketch_size.astype(jnp.int32), row_lo, row_hi, n_ev], axis=1,
+        [sketch_size.astype(jnp.int32), st["p0"], st["p_max"], st["n_ev"]],
+        axis=1,
     )
+    qrank_s = jnp.minimum(st["ev_qrank"], SC)
 
     sp = _round_up(SC + 1, 128)
-    out = l2_event_sweep_batch(meta, qrank_s, signinq_s, rows_s, sp,
+    out = l2_event_sweep_batch(meta, qrank_s, st["ev_sign"], st["ev_key"], sp,
                                interpret=cfg.l2_interpret)
     best = out[:, 0]
-    first_i = jnp.maximum(out[:, 1], 0)
-    last_i = jnp.maximum(out[:, 2], 0)
+    first_p = out[:, 1]  # positions (the fold runs in position space)
+    last_p = out[:, 2]
 
-    def finish(stt, b, fi, li):
-        grid, occ_w = stt["grid"], stt["occ_w"]
+    def finish(stt, b, fp, lp):
+        occ_w = stt["occ_w"]
         has_best = (b > 0) & stt["valid_cand"]
-        first_p = grid[fi]
-        last_p = grid[li]
 
         def rec_pos(p):
             ii = jnp.searchsorted(occ_w, p, side="right") - 1
             return occ_w[jnp.maximum(ii, 0)]
 
         mean_pos = jnp.where(
-            has_best, (rec_pos(first_p) + rec_pos(last_p)) // 2, 0
+            has_best, (rec_pos(fp) + rec_pos(lp)) // 2, 0
         )
         ob = stt["beg0"] + jnp.maximum(
-            jnp.searchsorted(occ_w, first_p, side="right") - 1, 0
+            jnp.searchsorted(occ_w, fp, side="right") - 1, 0
         )
-        oe = stt["beg0"] + jnp.searchsorted(occ_w, first_p + stt["L"], side="left")
+        oe = stt["beg0"] + jnp.searchsorted(occ_w, fp + stt["L"], side="left")
         return (
             jnp.where(has_best, b, 0),
             mean_pos,
@@ -976,7 +1121,7 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
             stt["overflow"] & stt["valid_cand"],
         )
 
-    return jax.vmap(finish)(st, best, first_i, last_i)
+    return jax.vmap(finish)(st, best, first_p, last_p)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -90,6 +90,9 @@ def stack_shards(parts: List[SketchShard]):
         "wpos": [],
         "hash_pos": [],
         "strand_pos": [],
+        "prev_w_same": [],
+        "chain_b": [],
+        "next_w_same": [],
         "contig_offsets": [],
         "freq_threshold": [],
     }
@@ -144,6 +147,15 @@ def stack_shards(parts: List[SketchShard]):
         arrs["wpos"].append(pad1(p.wpos, m_max, np.int32(2**31 - 1)))
         arrs["hash_pos"].append(pad1(p.hash_pos_order, m_max, np.uint32(0xFFFFFFFF)))
         arrs["strand_pos"].append(pad1(p.strand, m_max, np.int8(1)))
+        from ..ops.batch_map import build_chain_tables
+
+        prev_w, chain_b, next_w = build_chain_tables(
+            np.asarray(p.wpos), np.asarray(p.hash_pos_order),
+            np.asarray(p.contig_offsets),
+        )
+        arrs["prev_w_same"].append(pad1(prev_w, m_max, np.int32(-(2**31))))
+        arrs["chain_b"].append(pad1(chain_b, m_max, np.int32(-2)))
+        arrs["next_w_same"].append(pad1(next_w, m_max, np.int32(2**31 - 1)))
         co = np.full(c_max + 1, p.n_minimizers, np.int32)
         co[: len(p.contig_offsets)] = p.contig_offsets.astype(np.int32)
         arrs["contig_offsets"].append(co)
@@ -179,6 +191,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     ax_shard, ax_data = mesh.axis_names
 
     def local(hash_sorted, pair_byhash, wpos, hash_pos, strand_pos,
+              prev_w_same, chain_b, next_w_same,
               contig_offsets, uniq_hash, uniq_start, bucket_start, kv16,
               dir_packed, freq_thr, reads_l, lens_l, minhits):
         # leading shard axis of size 1 inside the shard_map body
@@ -188,6 +201,9 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             wpos=wpos[0],
             hash_pos=hash_pos[0],
             strand_pos=strand_pos[0],
+            prev_w_same=prev_w_same[0],
+            chain_b=chain_b[0],
+            next_w_same=next_w_same[0],
             contig_offsets=contig_offsets[0],
             uniq_hash=uniq_hash[0],
             uniq_start=uniq_start[0],
@@ -226,7 +242,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
         in_specs=(
             P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
             P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
-            P(ax_shard), P(ax_shard),
+            P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
             P(ax_data), P(ax_data), P(),
         ),
         out_specs=(P(None, ax_data), P(None, ax_data), P(None, ax_data)),
@@ -237,6 +253,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     return jax.jit(fn)(
         stacked["hash_sorted"], stacked["pair_byhash"],
         stacked["wpos"], stacked["hash_pos"], stacked["strand_pos"],
+        stacked["prev_w_same"], stacked["chain_b"], stacked["next_w_same"],
         stacked["contig_offsets"], stacked["uniq_hash"], stacked["uniq_start"],
         stacked["bucket_start"], stacked["kv16"], stacked["dir_packed"],
         stacked["freq_threshold"].reshape(-1, 1),
