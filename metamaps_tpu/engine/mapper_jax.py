@@ -379,7 +379,7 @@ class JaxMapperEngine:
                 )
                 args = (self.device_shard, dq_hash, dq_strand, ds_size,
                         lens_d, jnp.asarray(rows), jnp.asarray(cs),
-                        jnp.asarray(cst), jnp.asarray(cen))
+                        jnp.asarray(cst), jnp.asarray(cen), dev[7])
                 try:
                     out = batch_l2_gather(cfg_r, *args)
                 except Exception:

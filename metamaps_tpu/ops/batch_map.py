@@ -240,6 +240,7 @@ def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
         "prev_w_same",
         "chain_b",
         "next_w_same",
+        "hrow_pos",
         "contig_offsets",
         "uniq_hash",
         "uniq_start",
@@ -279,6 +280,9 @@ class DeviceShard:
     prev_w_same: jnp.ndarray  # [M] int32 (see build_chain_tables)
     chain_b: jnp.ndarray  # [M] int32
     next_w_same: jnp.ndarray  # [M] int32
+    hrow_pos: jnp.ndarray  # [M] int32 (position order): first row of this
+    # entry's hash in hash_sorted — the "row space" rank used by the L2
+    # qrank/membership compare (see batch_lookup's qkey)
     contig_offsets: jnp.ndarray  # [n_contigs+1] int32
     uniq_hash: jnp.ndarray  # [U] uint32 (sorted; dummy in block8 mode)
     uniq_start: jnp.ndarray  # [U+1] int32 (CSR; dummy in block8 mode)
@@ -314,6 +318,10 @@ class DeviceShard:
             np.asarray(shard.wpos), np.asarray(shard.hash_pos_order),
             np.asarray(shard.contig_offsets),
         )
+        hrow = np.searchsorted(
+            np.asarray(shard.hash_sorted, np.uint32),
+            np.asarray(shard.hash_pos_order, np.uint32),
+        ).astype(np.int32)
         return cls(
             hash_sorted=jnp.asarray(shard.hash_sorted),
             pair_byhash=jnp.asarray(pair),
@@ -323,6 +331,7 @@ class DeviceShard:
             prev_w_same=jnp.asarray(prev_w),
             chain_b=jnp.asarray(chain_b),
             next_w_same=jnp.asarray(next_w),
+            hrow_pos=jnp.asarray(hrow),
             contig_offsets=jnp.asarray(shard.contig_offsets.astype(np.int32)),
             uniq_hash=jnp.asarray(uniq),
             uniq_start=jnp.asarray(uniq_start),
@@ -412,10 +421,19 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
     hash distributions). ``freq_threshold`` overrides the shard's static
     threshold with a traced scalar (sharded path).
 
-    Returns (start [B, S] int32, count [B, S] int32, total [B] int32) —
-    counts zeroed for missing hashes, padded queries, and hashes at/above
-    the frequency threshold; ``total`` drives the host's H-tier routing of
-    the expansion stage.
+    Returns (start [B, S] int32, count [B, S] int32, total [B] int32,
+    qkey [B, S] int32) — counts zeroed for missing hashes, padded queries,
+    and hashes at/above the frequency threshold; ``total`` drives the host's
+    H-tier routing of the expansion stage.
+
+    ``qkey`` encodes each sketch hash's ROW-SPACE rank for the L2
+    qrank/membership compare: 2 * lower_bound(hash_sorted, qh) + present
+    (I32_MAX for padded slots). For an index entry with first row r,
+    qkey < 2r+1 iff the sketch hash is strictly smaller, qkey == 2r+1 iff
+    equal — so per-occurrence query ranks reduce to integer compares against
+    the contiguously sliced ``hrow_pos`` window (no per-candidate sort).
+    Unlike count, qkey is NOT frequency-thresholded (sketch membership in
+    the sliding map is threshold-independent, slidingMap.hpp init).
     """
     thr = shard.freq_threshold if freq_threshold is None else freq_threshold
     U = shard.uniq_hash.shape[0]
@@ -443,6 +461,22 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
         # (g <= 8*r0+14 since hi <= lo+8 <= 8*r0+15)
         nxt = jnp.concatenate([s16[..., 1:], s16[..., :1]], axis=-1)
         count = jnp.sum(jnp.where(m, nxt - s16, 0), axis=-1).astype(jnp.int32)
+        # row-space lower bound from the same fetched values: the insertion
+        # unique-index is lo + #{bucket keys < qh} (== hi when qh exceeds the
+        # bucket — the next bucket's first unique has larger top bits), and
+        # its start row is s16 at that offset (always within the 16)
+        cnt_lt = jnp.sum(
+            ((k16 < q_hash[..., None]) & (g >= lo[..., None]) & (g < hi[..., None])
+             ).astype(jnp.int32),
+            axis=-1,
+        )
+        idx16 = lo + cnt_lt - (r0 << 3)
+        arow = jnp.sum(
+            jnp.where(
+                jnp.arange(16, dtype=jnp.int32) == idx16[..., None], s16, 0
+            ),
+            axis=-1,
+        )
     else:
         lo = shard.bucket_start[b]
         hi = shard.bucket_start[b + 1]
@@ -463,9 +497,13 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
         count = jnp.where(
             found, shard.uniq_start[jnp.minimum(ic + 1, U)] - start, 0
         ).astype(jnp.int32)
+        arow = shard.uniq_start[jnp.minimum(lo_f, U)].astype(jnp.int32)
     valid_q = q_hash != U32_MAX
+    qkey = jnp.where(
+        valid_q, 2 * arow + found.astype(jnp.int32), I32_MAX
+    ).astype(jnp.int32)
     count = jnp.where(valid_q & found & (count < thr), count, 0)
-    return start, count, jnp.sum(count, axis=1, dtype=jnp.int32)
+    return start, count, jnp.sum(count, axis=1, dtype=jnp.int32), qkey
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -614,7 +652,7 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
     """L1 candidate regions per read: lookup + expansion in one dispatch at
     the config's worst-case H (the engine's pipelined path splits the two
     and routes reads to right-sized expansion tiers instead)."""
-    start, count, _ = batch_lookup(cfg, shard, q_hash, freq_threshold)
+    start, count, _, _ = batch_lookup(cfg, shard, q_hash, freq_threshold)
     return batch_l1_expand(
         cfg, shard, start, count, sketch_size, read_lens, minhits_table
     )
@@ -850,13 +888,20 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
        [p0, p_max] and decoding with "largest occurrence <= p" reproduces
        the grid-row fold (computeMap.hpp:509-537 tie rules) exactly,
        without materializing grid ranks.
+    4. **Query ranks and membership are row-space compares, not a sort.**
+       The lookup stage already computed, per sketch slot, qkey =
+       2*lower_bound(hash_sorted, qh) + present (see batch_lookup); the
+       occurrence side's first-row table hrow_pos slices contiguously with
+       the window. qrank(occ) = #{qkey < 2*hrow+1} and membership =
+       any(qkey == 2*hrow+1) — one [R, SC] broadcast compare-reduce on the
+       VPU replaces the two (R+SC)-wide payload sorts per candidate.
     """
     k, w = cfg.kmer_size, cfg.window_size
     R = cfg.range_max
     S = cfg.sketch_max
     SC = cfg.sketch_cols or S
 
-    def setup(qh, s, rlen, c_seq, c_start, c_end):
+    def setup(qk, s, rlen, c_seq, c_start, c_end):
         valid_cand = c_seq >= 0
         c_seq_c = jnp.maximum(c_seq, 0)
         lo = shard.contig_offsets[c_seq_c]
@@ -887,7 +932,7 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
             )
 
         occ_w = jnp.where(occ_v, slice_one(shard.wpos, I32_MAX), I32_MAX)
-        occ_h = jnp.where(occ_v, slice_one(shard.hash_pos, U32_MAX), U32_MAX)
+        occ_hrow = slice_one(shard.hrow_pos, I32_MAX // 4)
         prev_w = slice_one(shard.prev_w_same, I32_MIN)
         chb = slice_one(shard.chain_b, np.int32(-2))
         next_ws = slice_one(shard.next_w_same, I32_MAX)
@@ -900,32 +945,14 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
         next_w = jnp.concatenate([occ_w[1:], jnp.array([I32_MAX])])
         a_t = occ_w - L + 1
 
-        # query rank (#sketch hashes < occurrence hash) and membership via a
-        # merge-by-sort of occurrence hashes with the (sorted) sketch, the
-        # origin index riding as payload to restore position order
-        orig = jnp.concatenate(
-            [jnp.arange(R, dtype=jnp.int32), jnp.full(SC, I32_MAX, jnp.int32)]
-        )
-        mval = jnp.concatenate([occ_h, qh[:SC]])
-        mtyp = jnp.concatenate(
-            [jnp.zeros(R, jnp.int32), jnp.where(jnp.arange(SC) < s, 1, 2)]
-        )
-        v_s, t_s, o_s = jax.lax.sort((mval, mtyp, orig), num_keys=2)
-        isq = (t_s == 1).astype(jnp.int32)
-        qrank_m = jnp.cumsum(isq) - isq
-
-        def seg_any(aa, bb):
-            va, fa = aa
-            vb, fb = bb
-            return vb, jnp.where(va == vb, jnp.maximum(fa, fb), fb)
-
-        _, anyq_rev = jax.lax.associative_scan(
-            seg_any, (v_s[::-1], isq[::-1])
-        )
-        anyq = anyq_rev[::-1]
-        _, qrank_b, inq_b = jax.lax.sort((o_s, qrank_m, anyq), num_keys=1)
-        qrank = qrank_b[:R]
-        in_q = inq_b[:R] > 0
+        # query rank (#sketch hashes < occurrence hash) and membership as a
+        # row-space broadcast compare against the lookup-stage qkey (padded
+        # slots are I32_MAX and never count); XLA fuses the [R, SC] compare
+        # into the reduction — nothing is materialized
+        v_occ = 2 * occ_hrow[:, None] + 1  # [R, 1]
+        qk_c = qk[None, :SC]  # [1, SC]
+        qrank = jnp.sum((qk_c < v_occ).astype(jnp.int32), axis=1)
+        in_q = (qk_c == v_occ).any(axis=1)
 
         # the two transition families (both ascending in t):
         #   X at a_t: +base, unless an overlapping same-hash predecessor
@@ -1071,7 +1098,7 @@ def _make_l2_one(cfg: MapKernelConfig, shard: DeviceShard):
     return one
 
 
-def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
+def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_key,
                      sketch_size, read_lens, cand_seq, cand_start, cand_end):
     """Pallas event-sweep path over a whole candidate batch: event
     construction stays in XLA (vmapped, sort-light — see
@@ -1082,7 +1109,7 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
     S = cfg.sketch_max
     SC = cfg.sketch_cols or S
     setup_fn = _make_candidate_setup_pos(cfg, shard)
-    st = jax.vmap(setup_fn)(q_hash, sketch_size, read_lens,
+    st = jax.vmap(setup_fn)(q_key, sketch_size, read_lens,
                             cand_seq, cand_start, cand_end)
 
     meta = jnp.stack(
@@ -1103,16 +1130,19 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
         has_best = (b > 0) & stt["valid_cand"]
 
         def rec_pos(p):
-            ii = jnp.searchsorted(occ_w, p, side="right") - 1
-            return occ_w[jnp.maximum(ii, 0)]
+            # largest occurrence <= p (clamped to the first), as compare
+            # reductions — a vmapped searchsorted is scalarized gathers
+            return jnp.maximum(
+                jnp.max(jnp.where(occ_w <= p, occ_w, I32_MIN)), occ_w[0]
+            )
 
         mean_pos = jnp.where(
             has_best, (rec_pos(fp) + rec_pos(lp)) // 2, 0
         )
         ob = stt["beg0"] + jnp.maximum(
-            jnp.searchsorted(occ_w, fp, side="right") - 1, 0
+            jnp.sum((occ_w <= fp).astype(jnp.int32)) - 1, 0
         )
-        oe = stt["beg0"] + jnp.searchsorted(occ_w, fp + stt["L"], side="left")
+        oe = stt["beg0"] + jnp.sum((occ_w < fp + stt["L"]).astype(jnp.int32))
         return (
             jnp.where(has_best, b, 0),
             mean_pos,
@@ -1126,19 +1156,34 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
-                  read_lens, cand_seq, cand_start, cand_end):
+                  read_lens, cand_seq, cand_start, cand_end, q_key=None):
     """L2 scoring for flattened (read, candidate) pairs.
 
     Inputs: q_hash [N,S], sketch_size [N], read_lens [N], cand_* [N]
-    (seq -1 for padding).
+    (seq -1 for padding); q_key [N,S] = the lookup stage's row-space keys
+    (see batch_lookup) — required by the pallas path; recomputed from q_hash
+    with a batched searchsorted when omitted (CPU test path).
 
     Returns per candidate: shared [N] int32, mean_pos [N] int32,
     opt_beg [N] int32, opt_end [N] int32 (absolute occurrence indices of the
     first maximal state's map range), overflow [N] bool.
     """
     if cfg.l2_path == "pallas":
+        if q_key is None:
+            arow = jnp.searchsorted(
+                shard.hash_sorted, q_hash, side="left"
+            ).astype(jnp.int32)
+            M = shard.hash_sorted.shape[0]
+            present = (
+                shard.hash_sorted[jnp.minimum(arow, M - 1)] == q_hash
+            ) & (arow < M)
+            q_key = jnp.where(
+                q_hash != U32_MAX,
+                2 * arow + present.astype(jnp.int32),
+                I32_MAX,
+            )
         return _l2_pallas_batch(
-            cfg, shard, q_hash, sketch_size, read_lens,
+            cfg, shard, q_key, sketch_size, read_lens,
             cand_seq, cand_start, cand_end,
         )
     one = _make_l2_one(cfg, shard)
@@ -1155,10 +1200,10 @@ def map_batch_stage1a(cfg: MapKernelConfig, shard: DeviceShard, reads,
     sorts, hit gathers, and detector all scale with the H capacity.
 
     Returns (q_hash [B,S], q_strand [B,S], sketch_size [B], sketch_ovf [B],
-    start [B,S], count [B,S], total [B])."""
+    start [B,S], count [B,S], total [B], qkey [B,S])."""
     q_hash, q_strand, s_size, s_ovf = batch_sketch(cfg, reads, read_lens)
-    start, count, total = batch_lookup(cfg, shard, q_hash)
-    return q_hash, q_strand, s_size, s_ovf, start, count, total
+    start, count, total, qkey = batch_lookup(cfg, shard, q_hash)
+    return q_hash, q_strand, s_size, s_ovf, start, count, total, qkey
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -1317,7 +1362,7 @@ def _make_strand_votes(cfg: MapKernelConfig, shard: DeviceShard):
 @partial(jax.jit, static_argnames=("cfg",))
 def batch_l2_gather(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
                     q_strand, sketch_size, read_lens, rows, c_seq, c_start,
-                    c_end):
+                    c_end, q_key=None):
     """L2 scoring of a host-routed candidate slab: gathers the per-read
     sketch rows on device (q_hash etc. stay device-resident between the
     stage-1 and stage-2 dispatches) and scores with this cfg's (smaller)
@@ -1330,8 +1375,10 @@ def batch_l2_gather(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
     qh = q_hash[rows_c]
     qs = q_strand[rows_c]
     ss = sketch_size[rows_c]
+    qk = None if q_key is None else q_key[rows_c]
     sh, mp, ob, oe, ovf = batch_l2_slab(
         cfg, shard, qh, ss, read_lens[rows_c], c_seq, c_start, c_end,
+        q_key=qk,
     )
     votes = jax.vmap(_make_strand_votes(cfg, shard))(qh, qs, ss, ob, oe)
     return jnp.stack([sh, mp, ob, oe, ovf.astype(jnp.int32), votes])

@@ -155,47 +155,68 @@ def _batch_sweep_kernel(meta_ref, qrank_ref, signinq_ref, rows_ref, out_ref,
         fold[:, 3:4] = z + jnp.int32(-(2**31))  # prev_row
         fold[:, 4:5] = z          # shared
 
-    # carry ALL state as values across the unrolled block (vector registers);
-    # scratch is read/written once per program — a per-step scratch RMW costs
-    # ~16x (measured 14.7 us/step vs 0.9)
-    qr_all = qrank_ref[:]
-    si_all = signinq_ref[:]
+    # skip blocks that are padding-only across the whole slab: padding
+    # events (row I32_MAX, sign 0) are state no-ops and the trailing
+    # segment close happens in _finish, so such a block (always a suffix —
+    # events are row-sorted with padding last) can be skipped entirely.
+    # events are event-major, so this prunes the slab's common tail.
     row_all = rows_ref[:]
-    c = c_plane[:]
-    m = m_plane[:]
-    best = fold[:, 0:1]
-    first = fold[:, 1:2]
-    last = fold[:, 2:3]
-    prev_row = fold[:, 3:4]
-    shared = fold[:, 4:5]
 
-    for e in range(BLK):
-        qr = qr_all[:, e : e + 1]
-        si = si_all[:, e : e + 1]
-        row = row_all[:, e : e + 1]
+    @pl.when(jnp.min(row_all) != jnp.int32(2**31 - 1))
+    def _process():
+        # carry ALL state as values across the unrolled block (vector
+        # registers); scratch is read/written once per program — a per-step
+        # scratch RMW costs ~16x (measured 14.7 us/step vs 0.9)
+        qr_all = qrank_ref[:]
+        si_all = signinq_ref[:]
+        c = c_plane[:]
+        m = m_plane[:]
+        best = fold[:, 0:1]
+        first = fold[:, 1:2]
+        last = fold[:, 2:3]
+        prev_row = fold[:, 3:4]
+        shared = fold[:, 4:5]
 
-        # close the segment ending just before this event's row
-        seg_a = jnp.maximum(prev_row, row_lo)
-        seg_b = jnp.minimum(row - 1, row_hi)
-        nonempty = seg_a <= seg_b
-        better = nonempty & (shared > best)
-        equal = nonempty & (shared == best) & (best > 0)
-        first = jnp.where(better, seg_a, first)
-        last = jnp.where(better | equal, seg_b, last)
-        best = jnp.where(better, shared, best)
-        prev_row = jnp.maximum(prev_row, row)
+        for e in range(BLK):
+            qr = qr_all[:, e : e + 1]
+            si = si_all[:, e : e + 1]
+            row = row_all[:, e : e + 1]
 
-        is_inq = (si == 2) | (si == -2)
-        sign = jnp.where(si > 0, 1, jnp.where(si < 0, -1, 0))
-        c = c + jnp.where(((~is_inq) & (sign != 0)) & (lin >= qr), sign, 0)
-        m = m + jnp.where(is_inq & (lin == qr), sign, 0)
-        shared = jnp.sum(
-            (m > 0) & ((lin + c) < s),
-            axis=1, dtype=jnp.int32, keepdims=True,
-        )
+            # close the segment ending just before this event's row
+            seg_a = jnp.maximum(prev_row, row_lo)
+            seg_b = jnp.minimum(row - 1, row_hi)
+            nonempty = seg_a <= seg_b
+            better = nonempty & (shared > best)
+            equal = nonempty & (shared == best) & (best > 0)
+            first = jnp.where(better, seg_a, first)
+            last = jnp.where(better | equal, seg_b, last)
+            best = jnp.where(better, shared, best)
+            prev_row = jnp.maximum(prev_row, row)
+
+            is_inq = (si == 2) | (si == -2)
+            sign = jnp.where(si > 0, 1, jnp.where(si < 0, -1, 0))
+            c = c + jnp.where(((~is_inq) & (sign != 0)) & (lin >= qr), sign, 0)
+            m = m + jnp.where(is_inq & (lin == qr), sign, 0)
+            shared = jnp.sum(
+                (m > 0) & ((lin + c) < s),
+                axis=1, dtype=jnp.int32, keepdims=True,
+            )
+
+        c_plane[:] = c
+        m_plane[:] = m
+        fold[:, 0:1] = best
+        fold[:, 1:2] = first
+        fold[:, 2:3] = last
+        fold[:, 3:4] = prev_row
+        fold[:, 4:5] = shared
 
     @pl.when(i == n_prog - 1)
     def _finish():
+        best = fold[:, 0:1]
+        first = fold[:, 1:2]
+        last = fold[:, 2:3]
+        prev_row = fold[:, 3:4]
+        shared = fold[:, 4:5]
         # close the trailing segment [prev_row, row_hi]
         seg_a = jnp.maximum(prev_row, row_lo)
         seg_b = row_hi
@@ -206,14 +227,6 @@ def _batch_sweep_kernel(meta_ref, qrank_ref, signinq_ref, rows_ref, out_ref,
         out_ref[:, 1:2] = jnp.where(better, seg_a, first)
         out_ref[:, 2:3] = jnp.where(better | equal, seg_b, last)
         out_ref[:, 3:4] = jnp.zeros((N, 1), jnp.int32)
-
-    c_plane[:] = c
-    m_plane[:] = m
-    fold[:, 0:1] = best
-    fold[:, 1:2] = first
-    fold[:, 2:3] = last
-    fold[:, 3:4] = prev_row
-    fold[:, 4:5] = shared
 
 
 @partial(jax.jit, static_argnames=("sp", "interpret"))

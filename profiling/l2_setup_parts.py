@@ -63,6 +63,7 @@ def main():
     (q_hash, q_strand, s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf,
      n_occ) = [np.asarray(x) for x in out]
     dq_hash, dq_strand, ds_size = out[0], out[1], out[2]
+    _, _, _, dq_key = bm.batch_lookup(cfg0, dev, dq_hash)
 
     rr = 1792
     sc = 1024
@@ -83,7 +84,7 @@ def main():
 
     t, _ = timeit(lambda: bm.batch_l2_gather(
         cfg, dev, dq_hash, dq_strand, ds_size, lens_d, rows_d, cs_d, cst_d,
-        cen_d))
+        cen_d, dq_key))
     print(f"K={K} R={rr} sc={sc}")
     print(f"batch_l2_gather (pallas) total : {t*1000:7.2f} ms"
           f"  ({t/K*1000:.3f} ms/cand)")
@@ -93,11 +94,12 @@ def main():
     qs_s = dq_strand[rows]
     ss_s = ds_size[rows]
     rl_s = lens_d[rows]
-    jax.block_until_ready((qh_s, qs_s, ss_s, rl_s))
+    qk_s = dq_key[rows]
+    jax.block_until_ready((qh_s, qs_s, ss_s, rl_s, qk_s))
 
     setup_fn = _make_candidate_setup_pos(cfg, dev)
     setup_jit = jax.jit(lambda *a: jax.vmap(setup_fn)(*a))
-    t, st = timeit(setup_jit, qh_s, ss_s, rl_s, cs_d, cst_d, cen_d)
+    t, st = timeit(setup_jit, qk_s, ss_s, rl_s, cs_d, cst_d, cen_d)
     print(f"setup_pos vmapped              : {t*1000:7.2f} ms")
 
     # --- sub-parts -------------------------------------------------------
@@ -173,7 +175,23 @@ def main():
         return jax.vmap(one)(occ_h, qh, s)
 
     t, _ = timeit(part_qrank, occ_h_d, qh_s, ss_s)
-    print(f"  qrank merge (2 sorts)        : {t*1000:7.2f} ms")
+    print(f"  qrank merge (2 sorts, OLD)   : {t*1000:7.2f} ms")
+
+    @jax.jit
+    def part_qrank_new(beg0s, qk):
+        def one(beg0, q):
+            start2 = jnp.minimum(beg0, M - R)
+            shift = beg0 - start2
+            hr = jnp.roll(
+                jax.lax.dynamic_slice(dev.hrow_pos, (start2,), (R,)), -shift)
+            v = 2 * hr[:, None] + 1
+            qrank = jnp.sum((q[None, :SC] < v).astype(jnp.int32), axis=1)
+            in_q = (q[None, :SC] == v).any(axis=1)
+            return qrank, in_q
+        return jax.vmap(one)(beg0s, qk)
+
+    t, _ = timeit(part_qrank_new, beg0_d, qk_s)
+    print(f"  qrank compare (NEW)          : {t*1000:7.2f} ms")
 
     @jax.jit
     def part_bitonic(occ_w, qr):
