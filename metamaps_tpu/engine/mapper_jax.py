@@ -357,43 +357,55 @@ class JaxMapperEngine:
         t0 = time.perf_counter()
         slabs = []
         n_dispatched = 0
-        for rr, sc in sorted(per_key):
-            coords = [(r, c) for (r, c) in per_key[rr, sc] if not fallback[r]]
-            if not coords:
-                continue
+        # cross-tier slab packing: queue candidates by (sc, rr) DESCENDING
+        # and let each slab absorb smaller-tier members into its free slots.
+        # A padded row rides every event block of its slab at full lockstep
+        # cost anyway, so filling it with a real smaller candidate is free —
+        # total cost strictly drops (fewer slabs, near-zero padding) and no
+        # new shapes compile (slab tier = its leading member's tier).
+        queue: List[Tuple[int, int, int, int]] = []  # (sc, rr, r, c)
+        for (rr, sc), coords in per_key.items():
+            for r, c in coords:
+                if not fallback[r]:
+                    queue.append((sc, rr, r, c))
+        queue.sort(key=lambda t: (-t[0], -t[1]))
+        g0 = 0
+        while g0 < len(queue):
+            sc, rr = queue[g0][0], queue[g0][1]
             K = _l2_slab_k(rr)
-            for g0 in range(0, len(coords), K):
-                grp = coords[g0 : g0 + K]
-                rows = np.zeros(K, np.int32)
-                cs = np.full(K, -1, np.int32)
-                cst = np.zeros(K, np.int32)
-                cen = np.zeros(K, np.int32)
-                for t, (r, c) in enumerate(grp):
-                    rows[t] = r
-                    cs[t] = c_seq[r, c]
-                    cst[t] = c_start[r, c]
-                    cen[t] = c_end[r, c]
-                cfg_r = dataclasses.replace(
-                    cfg, range_max=rr, sketch_cols=sc,
-                    event_cap=min(2 * rr, ((rr + rr // 4 + 127) // 128) * 128),
-                )
-                args = (self.device_shard, dq_hash, dq_strand, ds_size,
-                        lens_d, jnp.asarray(rows), jnp.asarray(cs),
-                        jnp.asarray(cst), jnp.asarray(cen), dev[7])
-                try:
+            grp_q = queue[g0 : g0 + K]
+            g0 += len(grp_q)
+            grp = [(r, c) for _, _, r, c in grp_q]
+            rows = np.zeros(K, np.int32)
+            cs = np.full(K, -1, np.int32)
+            cst = np.zeros(K, np.int32)
+            cen = np.zeros(K, np.int32)
+            for t, (r, c) in enumerate(grp):
+                rows[t] = r
+                cs[t] = c_seq[r, c]
+                cst[t] = c_start[r, c]
+                cen[t] = c_end[r, c]
+            cfg_r = dataclasses.replace(
+                cfg, range_max=rr, sketch_cols=sc,
+                event_cap=min(2 * rr, ((rr + rr // 4 + 127) // 128) * 128),
+            )
+            args = (self.device_shard, dq_hash, dq_strand, ds_size,
+                    lens_d, jnp.asarray(rows), jnp.asarray(cs),
+                    jnp.asarray(cst), jnp.asarray(cen), dev[7])
+            try:
+                out = batch_l2_gather(cfg_r, *args)
+            except Exception:
+                if cfg_r.l2_path == "pallas":
+                    # pallas unavailable on this backend: permanently
+                    # fall back to the scatter path for this bucket
+                    cfg = dataclasses.replace(cfg, l2_impl="scatter")
+                    self._configs[bucket] = cfg
+                    cfg_r = dataclasses.replace(cfg_r, l2_impl="scatter")
                     out = batch_l2_gather(cfg_r, *args)
-                except Exception:
-                    if cfg_r.l2_path == "pallas":
-                        # pallas unavailable on this backend: permanently
-                        # fall back to the scatter path for this bucket
-                        cfg = dataclasses.replace(cfg, l2_impl="scatter")
-                        self._configs[bucket] = cfg
-                        cfg_r = dataclasses.replace(cfg_r, l2_impl="scatter")
-                        out = batch_l2_gather(cfg_r, *args)
-                    else:
-                        raise
-                slabs.append((grp, out))
-                n_dispatched += len(grp)
+                else:
+                    raise
+            slabs.append((grp, out))
+            n_dispatched += len(grp)
         if _PROFILE:
             print(
                 f"PROFILE mapper_jax: l2 dispatch B={B} cands={n_dispatched} "

@@ -96,29 +96,32 @@ def build_block_tables(uniq: np.ndarray, uniq_start: np.ndarray,
                        bucket_start: np.ndarray):
     """Packed layouts for the bisection-free lookup:
 
-    - kv16 [ceil(U/8)+2, 16] uint32: row r = (uniq[8r:8r+8],
-      uniq_start[8r:8r+8]) — keys and starts fetched together in one
-      aligned row gather (keys padded U32_MAX, starts padded with
-      uniq_start[-1]);
+    - kv32 [ceil(U/8)+1, 32] uint32: row r = (uniq[8r:8r+16],
+      uniq_start[8r:8r+16]) — each row carries its own 8-block AND the next
+      one (entries stored twice), so a bucket's two possible blocks arrive
+      in ONE aligned 32-wide row gather (width 2-32 aligned row gathers cost
+      the same as a single lane — profiling/README.md). Keys padded
+      U32_MAX, starts padded with uniq_start[-1];
     - dir_packed [NB] uint32: bucket lo index in bits 0..27, bucket size
       (<= 8) in bits 28..31 — one lane gather replaces two.
 
-    A bucket [lo, hi) with hi-lo <= 8 spans at most rows lo//8 and lo//8+1;
-    entries g in [lo, hi) and their successor starts g+1 all fall in those
-    two rows (indices 8*(lo//8) .. 8*(lo//8)+15)."""
+    A bucket [lo, hi) with hi-lo <= 8 spans at most unique indices
+    8*(lo//8) .. 8*(lo//8)+15, i.e. row lo//8's 16 entries; successor
+    starts g+1 are at offsets <= 15 of the same row since hi <= lo+8."""
     U = len(uniq)
-    rows_k = U // 8 + 2
-    kv16 = np.empty((rows_k, 16), np.uint32)
-    keys_flat = np.full(rows_k * 8, U32_MAX, np.uint32)
+    rows_k = U // 8 + 1
+    keys_flat = np.full((rows_k + 1) * 8, U32_MAX, np.uint32)
     keys_flat[:U] = uniq
-    starts_flat = np.full(rows_k * 8, uniq_start[-1], np.uint32)
+    starts_flat = np.full((rows_k + 1) * 8, uniq_start[-1], np.uint32)
     starts_flat[: len(uniq_start)] = uniq_start.astype(np.uint32)
-    kv16[:, :8] = keys_flat.reshape(rows_k, 8)
-    kv16[:, 8:] = starts_flat.reshape(rows_k, 8)
+    kv32 = np.empty((rows_k, 32), np.uint32)
+    idx = np.arange(rows_k)[:, None] * 8 + np.arange(16)[None, :]
+    kv32[:, :16] = keys_flat[idx]
+    kv32[:, 16:] = starts_flat[idx]
     lo = bucket_start[:-1].astype(np.uint32)
     cnt = (bucket_start[1:] - bucket_start[:-1]).astype(np.uint32)
     dir_packed = lo | (cnt << np.uint32(28))
-    return kv16, dir_packed
+    return kv32, dir_packed
 
 
 @dataclass(frozen=True)
@@ -245,7 +248,7 @@ def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
         "uniq_hash",
         "uniq_start",
         "bucket_start",
-        "kv16",
+        "kv32",
         "dir_packed",
     ],
     meta_fields=["freq_threshold", "bucket_shift", "bisect_steps", "lookup_mode"],
@@ -261,13 +264,14 @@ class DeviceShard:
 
     - ``pair_byhash`` [M, 2]: (seqid, wpos) in hash order — one row gather
       per hit instead of two table gathers;
-    - ``kv16``/``dir_packed``: the unique-hash table in packed aligned
-      8-blocks (keys and starts in one 16-wide row; bucket lo + size in one
-      directory word — see build_block_tables). The radix directory is sized
-      at build time so every bucket holds <= 8 unique hashes
-      (build_uniq_tables), hence a bucket spans at most two consecutive
-      blocks and a lookup is 1 directory lane gather + 2 packed row gathers
-      — no bisection (``lookup_mode == 'block8'``). For pathological
+    - ``kv32``/``dir_packed``: the unique-hash table in packed aligned
+      8-blocks (each 32-wide row carries its block and the next, keys and
+      starts together; bucket lo + size in one directory word — see
+      build_block_tables). The radix directory is sized at build time so
+      every bucket holds <= 8 unique hashes (build_uniq_tables), hence a
+      bucket's entries all live in one kv32 row and a lookup is 1 directory
+      lane gather + 1 packed row gather — no bisection
+      (``lookup_mode == 'block8'``). For pathological
       distributions where no directory width under the memory cap achieves
       bucket <= 8 (or > 2^28 unique hashes), ``lookup_mode == 'bisect'``
       falls back to per-bucket binary search over uniq_hash/uniq_start."""
@@ -287,7 +291,7 @@ class DeviceShard:
     uniq_hash: jnp.ndarray  # [U] uint32 (sorted; dummy in block8 mode)
     uniq_start: jnp.ndarray  # [U+1] int32 (CSR; dummy in block8 mode)
     bucket_start: jnp.ndarray  # [NB+1] int32 (dummy in block8 mode)
-    kv16: jnp.ndarray  # [ceil(U/8)+2, 16] uint32 (dummy in bisect mode)
+    kv32: jnp.ndarray  # [ceil(U/8)+1, 32] uint32 (dummy in bisect mode)
     dir_packed: jnp.ndarray  # [NB] uint32 (dummy in bisect mode)
     freq_threshold: int
     bucket_shift: int  # hash >> shift = bucket id
@@ -302,13 +306,13 @@ class DeviceShard:
         max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
         block8 = max_bucket <= LOOKUP_KMAX and len(uniq) <= LOOKUP_U_CAP
         if block8:
-            kv16, dir_packed = build_block_tables(uniq, uniq_start, bucket_start)
+            kv32, dir_packed = build_block_tables(uniq, uniq_start, bucket_start)
             # the bisect tables are dead in this mode; don't ship them to HBM
             uniq = np.zeros(1, np.uint32)
             uniq_start = np.zeros(2, np.int32)
             bucket_start = np.zeros(2, np.int32)
         else:
-            kv16 = np.zeros((1, 16), np.uint32)
+            kv32 = np.zeros((1, 32), np.uint32)
             dir_packed = np.zeros(1, np.uint32)
         pair = np.stack(
             [np.asarray(shard.seqid_byhash, np.int32),
@@ -336,7 +340,7 @@ class DeviceShard:
             uniq_hash=jnp.asarray(uniq),
             uniq_start=jnp.asarray(uniq_start),
             bucket_start=jnp.asarray(bucket_start),
-            kv16=jnp.asarray(kv16),
+            kv32=jnp.asarray(kv32),
             dir_packed=jnp.asarray(dir_packed),
             freq_threshold=int(shard.freq_threshold),
             bucket_shift=shift,
@@ -416,7 +420,7 @@ def batch_sketch(cfg: MapKernelConfig, reads, read_lens):
 def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
                  freq_threshold=None):
     """Index lookup of every sketch hash: radix directory + aligned 8-block
-    probe (2 lane gathers + 4 row gathers per query, no bisection — see
+    probe (1 lane gather + 1 packed 32-wide row gather per query — see
     DeviceShard docstring; 'bisect' mode is the fallback for pathological
     hash distributions). ``freq_threshold`` overrides the shard's static
     threshold with a traced scalar (sharded path).
@@ -441,18 +445,16 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
 
     if shard.lookup_mode == "block8":
         # one packed directory gather gives (lo, bucket size <= 8); the
-        # bucket spans at most two aligned 8-blocks whose packed rows carry
-        # keys AND starts, so a lookup is 3 gathers total
+        # bucket's two possible 8-blocks arrive in ONE 32-wide row gather
+        # (each kv32 row duplicates the next block), so a lookup is 2
+        # gathers total
         d = shard.dir_packed[b]
         lo = (d & jnp.uint32(0x0FFFFFFF)).astype(jnp.int32)
         hi = lo + (d >> jnp.uint32(28)).astype(jnp.int32)
         r0 = lo >> 3
-        row0 = jnp.take(shard.kv16, r0, axis=0)  # [B, S, 16]
-        row1 = jnp.take(shard.kv16, r0 + 1, axis=0)
-        k16 = jnp.concatenate([row0[..., :8], row1[..., :8]], axis=-1)
-        s16 = jnp.concatenate([row0[..., 8:], row1[..., 8:]], axis=-1).astype(
-            jnp.int32
-        )
+        row = jnp.take(shard.kv32, r0, axis=0)  # [B, S, 32]
+        k16 = row[..., :16]
+        s16 = row[..., 16:].astype(jnp.int32)
         g = (r0 << 3)[..., None] + jnp.arange(16, dtype=jnp.int32)
         m = (k16 == q_hash[..., None]) & (g >= lo[..., None]) & (g < hi[..., None])
         found = m.any(axis=-1)

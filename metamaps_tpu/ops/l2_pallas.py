@@ -110,6 +110,7 @@ def _sweep_kernel(meta_ref, qrank_ref, signinq_ref, rows_ref, out_ref,
 
 BLK = 128  # events per grid program (statically unrolled in the kernel;
            # TPU block shapes need the trailing dim to be a multiple of 128)
+RB = 8     # candidates per row-block program (one sublane tile)
 
 
 def _batch_sweep_kernel(meta_ref, qrank_ref, signinq_ref, rows_ref, out_ref,
@@ -227,6 +228,157 @@ def _batch_sweep_kernel(meta_ref, qrank_ref, signinq_ref, rows_ref, out_ref,
         out_ref[:, 1:2] = jnp.where(better, seg_a, first)
         out_ref[:, 2:3] = jnp.where(better | equal, seg_b, last)
         out_ref[:, 3:4] = jnp.zeros((N, 1), jnp.int32)
+
+
+def _rb_sweep_kernel(meta_ref, qrank_ref, signinq_ref, rows_ref, out_ref,
+                     c_plane, m_plane, fold):
+    """Row-block × event-block lockstep sweep.
+
+    Grid = (row blocks of RB candidates, event blocks of BLK) with the event
+    axis minor: each RB-candidate group sweeps its own event stream with
+    [RB, SP] vector ops, and an event block whose RB rows are ALL padding is
+    skipped (its work would be sign-0 no-ops). Because the caller sorts slab
+    members by event count (and padding candidates have zero events), each
+    row group prunes to ITS OWN event tail — padding rows and short
+    candidates cost ~nothing, unlike a slab-global sweep where every block
+    runs at the full candidate width. Semantics identical to
+    _batch_sweep_kernel (lazy segment close; trailing close in the final
+    block).
+
+    meta_ref [RB, 4] int32: (s, row_lo, row_hi, unused) columns.
+    out_ref [RB, 4] int32: (best, first_row, last_row, 0).
+    Scratch: c_plane/m_plane [RB, SP] int32; fold [RB, 8] int32.
+    """
+    N, SP = c_plane.shape
+    j = pl.program_id(1)
+    n_ev_blocks = pl.num_programs(1)
+    s = meta_ref[:, 0:1]
+    row_lo = meta_ref[:, 1:2]
+    row_hi = meta_ref[:, 2:3]
+    lin = jax.lax.broadcasted_iota(jnp.int32, (N, SP), 1)
+
+    @pl.when(j == 0)
+    def _init():
+        c_plane[:] = jnp.zeros_like(c_plane)
+        m_plane[:] = jnp.zeros_like(m_plane)
+        z = jnp.zeros((N, 1), jnp.int32)
+        fold[:, 0:1] = z          # best
+        fold[:, 1:2] = z - 1      # first
+        fold[:, 2:3] = z - 1      # last
+        fold[:, 3:4] = z + jnp.int32(-(2**31))  # prev_row
+        fold[:, 4:5] = z          # shared
+
+    row_all = rows_ref[:]
+
+    @pl.when(jnp.min(row_all) != jnp.int32(2**31 - 1))
+    def _process():
+        qr_all = qrank_ref[:]
+        si_all = signinq_ref[:]
+        c = c_plane[:]
+        m = m_plane[:]
+        best = fold[:, 0:1]
+        first = fold[:, 1:2]
+        last = fold[:, 2:3]
+        prev_row = fold[:, 3:4]
+        shared = fold[:, 4:5]
+
+        for e in range(BLK):
+            qr = qr_all[:, e : e + 1]
+            si = si_all[:, e : e + 1]
+            row = row_all[:, e : e + 1]
+
+            seg_a = jnp.maximum(prev_row, row_lo)
+            seg_b = jnp.minimum(row - 1, row_hi)
+            nonempty = seg_a <= seg_b
+            better = nonempty & (shared > best)
+            equal = nonempty & (shared == best) & (best > 0)
+            first = jnp.where(better, seg_a, first)
+            last = jnp.where(better | equal, seg_b, last)
+            best = jnp.where(better, shared, best)
+            prev_row = jnp.maximum(prev_row, row)
+
+            is_inq = (si == 2) | (si == -2)
+            sign = jnp.where(si > 0, 1, jnp.where(si < 0, -1, 0))
+            c = c + jnp.where(((~is_inq) & (sign != 0)) & (lin >= qr), sign, 0)
+            m = m + jnp.where(is_inq & (lin == qr), sign, 0)
+            shared = jnp.sum(
+                (m > 0) & ((lin + c) < s),
+                axis=1, dtype=jnp.int32, keepdims=True,
+            )
+
+        c_plane[:] = c
+        m_plane[:] = m
+        fold[:, 0:1] = best
+        fold[:, 1:2] = first
+        fold[:, 2:3] = last
+        fold[:, 3:4] = prev_row
+        fold[:, 4:5] = shared
+
+    @pl.when(j == n_ev_blocks - 1)
+    def _finish():
+        best = fold[:, 0:1]
+        first = fold[:, 1:2]
+        last = fold[:, 2:3]
+        prev_row = fold[:, 3:4]
+        shared = fold[:, 4:5]
+        seg_a = jnp.maximum(prev_row, row_lo)
+        seg_b = row_hi
+        nonempty = seg_a <= seg_b
+        better = nonempty & (shared > best)
+        equal = nonempty & (shared == best) & (best > 0)
+        out_ref[:, 0:1] = jnp.where(better, shared, best)
+        out_ref[:, 1:2] = jnp.where(better, seg_a, first)
+        out_ref[:, 2:3] = jnp.where(better | equal, seg_b, last)
+        out_ref[:, 3:4] = jnp.zeros((N, 1), jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("sp", "interpret"))
+def l2_event_sweep_rb(meta, qrank, signinq, rows, sp: int,
+                      interpret: bool = False):
+    """Row-block batched sweep (see _rb_sweep_kernel). Same contract as
+    :func:`l2_event_sweep_batch`; best when the slab carries padding
+    candidates or heterogeneous event counts (callers should order members
+    by descending event count)."""
+    N0, E2 = qrank.shape
+    assert sp % 128 == 0
+    N = (N0 + RB - 1) // RB * RB
+    e2p = (E2 + BLK - 1) // BLK * BLK
+
+    def padded(x, fill):
+        out = jnp.full((N, e2p), fill, jnp.int32)
+        return jax.lax.dynamic_update_slice(out, x, (0, 0))
+
+    qrank_p = padded(qrank, 0)
+    signinq_p = padded(signinq, 0)
+    rows_p = padded(rows, np.int32(2**31 - 1))
+    if N != N0:
+        meta = jnp.concatenate(
+            [meta, jnp.zeros((N - N0, meta.shape[1]), jnp.int32)], axis=0
+        )
+    out = pl.pallas_call(
+        _rb_sweep_kernel,
+        grid=(N // RB, e2p // BLK),
+        out_shape=jax.ShapeDtypeStruct((N, 4), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((RB, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, BLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, BLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, BLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((RB, 4), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((RB, sp), jnp.int32),
+            pltpu.VMEM((RB, sp), jnp.int32),
+            pltpu.VMEM((RB, 8), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, qrank_p, signinq_p, rows_p)
+    return out[:N0]
 
 
 @partial(jax.jit, static_argnames=("sp", "interpret"))

@@ -120,7 +120,7 @@ def stack_shards(parts: List[SketchShard]):
         uniq_parts.append((uniq, uniq_start, bucket_start))
     u_max = max(len(u) for u, _, _ in uniq_parts)
     block8 = max_bucket <= LOOKUP_KMAX and u_max <= LOOKUP_U_CAP
-    u_hash, u_start, b_start, kv16s, dirps = [], [], [], [], []
+    u_hash, u_start, b_start, kv32s, dirps = [], [], [], [], []
     for (uniq, uniq_start, bucket_start), p in zip(uniq_parts, parts):
         uq = pad1(uniq, u_max, np.uint32(0xFFFFFFFF))
         u_hash.append(uq)
@@ -131,11 +131,11 @@ def stack_shards(parts: List[SketchShard]):
         bs = np.minimum(bucket_start, np.int32(len(uniq)))
         b_start.append(bs)
         if block8:
-            kv16, dirp = build_block_tables(uq, us, bs)
-            kv16s.append(kv16)
+            kv32, dirp = build_block_tables(uq, us, bs)
+            kv32s.append(kv32)
             dirps.append(dirp)
         else:
-            kv16s.append(np.zeros((1, 16), np.uint32))
+            kv32s.append(np.zeros((1, 32), np.uint32))
             dirps.append(np.zeros(1, np.uint32))
 
     for p in parts:
@@ -169,7 +169,7 @@ def stack_shards(parts: List[SketchShard]):
     arrs["uniq_hash"] = u_hash
     arrs["uniq_start"] = u_start
     arrs["bucket_start"] = b_start
-    arrs["kv16"] = kv16s
+    arrs["kv32"] = kv32s
     arrs["dir_packed"] = dirps
     out = {k: jnp.asarray(np.stack(v)) for k, v in arrs.items()}
     out["bucket_shift"] = 32 - nb_bits
@@ -198,7 +198,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
 
     def local(hash_sorted, pair_byhash, wpos, hash_pos, strand_pos,
               prev_w_same, chain_b, next_w_same, hrow_pos,
-              contig_offsets, uniq_hash, uniq_start, bucket_start, kv16,
+              contig_offsets, uniq_hash, uniq_start, bucket_start, kv32,
               dir_packed, freq_thr, reads_l, lens_l, minhits):
         # leading shard axis of size 1 inside the shard_map body
         shard = DeviceShard(
@@ -215,7 +215,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             uniq_hash=uniq_hash[0],
             uniq_start=uniq_start[0],
             bucket_start=bucket_start[0],
-            kv16=kv16[0],
+            kv32=kv32[0],
             dir_packed=dir_packed[0],
             freq_threshold=0,  # unused; traced override below
             bucket_shift=stacked["bucket_shift"],
@@ -263,7 +263,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
         stacked["prev_w_same"], stacked["chain_b"], stacked["next_w_same"],
         stacked["hrow_pos"],
         stacked["contig_offsets"], stacked["uniq_hash"], stacked["uniq_start"],
-        stacked["bucket_start"], stacked["kv16"], stacked["dir_packed"],
+        stacked["bucket_start"], stacked["kv32"], stacked["dir_packed"],
         stacked["freq_threshold"].reshape(-1, 1),
         reads, read_lens, minhits_table,
     )
