@@ -82,6 +82,14 @@ def main(argv=None):
         p_c.add_argument("--mappings", required=True, help="mappings file from mapDirectly/mapAgainstIndex")
         p_c.add_argument("--minreads", type=int, default=10000)
         p_c.add_argument("--threads", "-t", type=int, default=1)
+        if name == "classify":
+            p_c.add_argument(
+                "--emBackend", choices=["numpy", "jax", "auto"], default=None,
+                help="EM round backend: numpy = host float64 (parity "
+                "default), jax = jitted device rounds, auto = jax for "
+                "very large mapping tables on an accelerator "
+                "(default: $METAMAPS_TPU_EM_BACKEND or numpy)",
+            )
 
     p_sim = sub.add_parser("simulate", help="simulate reads / reduced DBs / evaluate an inference run")
     p_sim.add_argument("--action", choices=["reads", "reducedDB", "inference", "evaluate"], required=True)
@@ -470,7 +478,7 @@ def main(argv=None):
         # comma-separated mappings lists, as in the reference
         # (mash_map.cpp:311-316)
         for mf in args.mappings.split(","):
-            do_em(params, mf)
+            do_em(params, mf, em_backend=args.emBackend)
 
     elif args.command == "classifyU":
         from .engine.u import do_u

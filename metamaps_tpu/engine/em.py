@@ -321,11 +321,33 @@ def make_em_iterate_jax(table: MappingTable, dtype=None):
     return step
 
 
+#: 'auto' switches to the device backend above this many mapping lines —
+#: below it the host float64 bincounts win (and keep exact parity anyway).
+EM_AUTO_DEVICE_MIN_LINES = 5_000_000
+
+
+def _resolve_em_backend(table: MappingTable, backend: str) -> str:
+    if backend != "auto":
+        return backend
+    if len(table.lines) < EM_AUTO_DEVICE_MIN_LINES:
+        return "numpy"
+    try:
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return "numpy"
+    except Exception:
+        return "numpy"
+    return "jax"
+
+
 def run_em(table: MappingTable, verbose: bool = True, backend: str = "numpy"):
     """The EM loop with the reference convergence rule (fEM.h:501-661).
 
     backend 'numpy' runs float64 on host (parity path); 'jax' runs the
-    jitted device rounds with host-side convergence control."""
+    jitted device rounds with host-side convergence control; 'auto' picks
+    'jax' only for very large tables on an accelerator."""
+    backend = _resolve_em_backend(table, backend)
     n_tax = len(table.taxon_list)
     f = np.full(n_tax, 1.0 / n_tax, np.float64)
     step = None
@@ -480,7 +502,7 @@ def _overlap(a_left, a_right, b_left, b_right):
     return max(0, hi - lo + 1)
 
 
-def do_em(params, mapped_file: str):
+def do_em(params, mapped_file: str, em_backend: str = None):
     """The classify driver (doEM, fEM.h:466-1133)."""
     db_dir = params.db
     minimum_reads_per_best = params.minimum_reads_for_u
@@ -501,7 +523,9 @@ def do_em(params, mapped_file: str):
     taxonomy = Taxonomy(os.path.join(db_dir, "taxonomy"))
 
     f_arr, n_iter = run_em(
-        table, backend=os.environ.get("METAMAPS_TPU_EM_BACKEND", "numpy")
+        table,
+        backend=em_backend
+        or os.environ.get("METAMAPS_TPU_EM_BACKEND", "numpy"),
     )
     p = responsibilities(table, f_arr)
 

@@ -184,6 +184,69 @@ def test_em_jax_backend_matches_numpy(pipeline):
     np.testing.assert_allclose(f_np, f_jx, rtol=5e-4, atol=1e-6)
 
 
+def _synthetic_mapping_table(n_reads, n_taxa, seed=0, max_locs=5):
+    """A MappingTable with random per-read location lists (no file IO) —
+    exercises the EM backends at scales the fixture pipelines don't."""
+    from metamaps_tpu.engine.em import MappingTable
+
+    rng = np.random.default_rng(seed)
+    locs = rng.integers(1, max_locs + 1, n_reads)
+    n_lines = int(locs.sum())
+    read_of_line = np.repeat(np.arange(n_reads, dtype=np.int64), locs)
+    taxon_of_line = rng.integers(0, n_taxa, n_lines)
+    mapq = np.zeros(n_lines)
+    # per-read mapping qualities sum to 1 (the reference's posterior)
+    starts = np.zeros(n_reads + 1, np.int64)
+    np.cumsum(locs, out=starts[1:])
+    raw = rng.random(n_lines) + 1e-3
+    tot = np.add.reduceat(raw, starts[:-1])
+    mapq = raw / np.repeat(tot, locs)
+    return MappingTable(
+        lines=[""] * n_lines,
+        read_of_line=read_of_line,
+        taxon_of_line=taxon_of_line,
+        mapq=mapq,
+        inv_locations=1.0 / rng.integers(1, 2000, n_lines).astype(np.float64),
+        identity=rng.random(n_lines),
+        contig_of_line=np.zeros(n_lines, np.int64),
+        start=np.zeros(n_lines, np.int64),
+        stop=np.zeros(n_lines, np.int64),
+        read_len=np.full(n_lines, 5000, np.int64),
+        read_ids=[f"r{i}" for i in range(n_reads)],
+        taxon_list=[str(1000 + t) for t in range(n_taxa)],
+    )
+
+
+def test_em_jax_backend_large_table():
+    """The device EM backend must stay monotone and agree with the host
+    float64 EM on a table large enough to exercise the segmented scans
+    (grouped-per-read structure, ragged location counts)."""
+    from metamaps_tpu.engine.em import run_em
+
+    table = _synthetic_mapping_table(n_reads=200_000, n_taxa=400, seed=11)
+    f_np, _ = run_em(table, verbose=False, backend="numpy")
+    f_jx, _ = run_em(table, verbose=False, backend="jax")
+    # compositions agree to float32 tolerance; the dominant taxa ranking
+    # is what classify consumes downstream
+    np.testing.assert_allclose(f_np, f_jx, rtol=5e-3, atol=1e-5)
+    assert np.argmax(f_np) == np.argmax(f_jx)
+
+
+def test_em_auto_backend_resolution():
+    from metamaps_tpu.engine import em
+
+    small = _synthetic_mapping_table(n_reads=100, n_taxa=5)
+    assert em._resolve_em_backend(small, "auto") == "numpy"
+    assert em._resolve_em_backend(small, "jax") == "jax"
+    # above the line threshold, auto follows the device platform
+    big = _synthetic_mapping_table(n_reads=100, n_taxa=5)
+    big.lines = [""] * em.EM_AUTO_DEVICE_MIN_LINES
+    import jax
+
+    expect = "numpy" if jax.devices()[0].platform == "cpu" else "jax"
+    assert em._resolve_em_backend(big, "auto") == expect
+
+
 def test_native_mapping_parser_matches_python(pipeline):
     """The C++ columnar parser (native/mapq_parse.cpp) must produce exactly
     the columns of the Python fallback on a real mapped+qualities file, and
