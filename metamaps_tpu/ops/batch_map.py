@@ -244,6 +244,7 @@ def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
         "chain_b",
         "next_w_same",
         "hrow_pos",
+        "pos_tab",
         "contig_offsets",
         "uniq_hash",
         "uniq_start",
@@ -287,6 +288,11 @@ class DeviceShard:
     hrow_pos: jnp.ndarray  # [M] int32 (position order): first row of this
     # entry's hash in hash_sorted — the "row space" rank used by the L2
     # qrank/membership compare (see batch_lookup's qkey)
+    pos_tab: jnp.ndarray  # [6, M] int32: rows (wpos, hrow_pos, prev_w_same,
+    # chain_b, next_w_same, strand) — the position-order tables the L2
+    # candidate setup consumes, packed so one vmapped dynamic_slice fetches
+    # a candidate's whole occurrence window (six 1-D slices would each pay
+    # the unaligned-window gather cost)
     contig_offsets: jnp.ndarray  # [n_contigs+1] int32
     uniq_hash: jnp.ndarray  # [U] uint32 (sorted; dummy in block8 mode)
     uniq_start: jnp.ndarray  # [U+1] int32 (CSR; dummy in block8 mode)
@@ -326,6 +332,10 @@ class DeviceShard:
             np.asarray(shard.hash_sorted, np.uint32),
             np.asarray(shard.hash_pos_order, np.uint32),
         ).astype(np.int32)
+        pos_tab = np.stack([
+            np.asarray(shard.wpos, np.int32), hrow, prev_w, chain_b, next_w,
+            np.asarray(shard.strand, np.int32),
+        ])
         return cls(
             hash_sorted=jnp.asarray(shard.hash_sorted),
             pair_byhash=jnp.asarray(pair),
@@ -336,6 +346,7 @@ class DeviceShard:
             chain_b=jnp.asarray(chain_b),
             next_w_same=jnp.asarray(next_w),
             hrow_pos=jnp.asarray(hrow),
+            pos_tab=jnp.asarray(pos_tab),
             contig_offsets=jnp.asarray(shard.contig_offsets.astype(np.int32)),
             uniq_hash=jnp.asarray(uniq),
             uniq_start=jnp.asarray(uniq_start),
@@ -666,7 +677,13 @@ def batch_l1(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
 
 
 def _bisect_range(arr, lo, hi, val, side_right=False):
-    """Binary search for val in sorted arr[lo:hi) with traced bounds."""
+    """Binary search for val in sorted arr[lo:hi) with traced bounds.
+    ``val`` may be a vector (lo/hi broadcast): independent searches share
+    one loop, halving the dependent-gather latency chain per search."""
+    val = jnp.asarray(val)
+    lo = jnp.broadcast_to(jnp.asarray(lo), val.shape)
+    hi = jnp.broadcast_to(jnp.asarray(hi), val.shape)
+
     def body(_, state):
         lo_, hi_ = state
         mid = (lo_ + hi_) // 2
@@ -910,8 +927,12 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
         hi = shard.contig_offsets[c_seq_c + 1]
         L = rlen - (w - 1) - (k - 1)
 
-        beg0 = _bisect_range(shard.wpos, lo, hi, c_start)
-        last_end = _bisect_range(shard.wpos, lo, hi, c_end + rlen)
+        # both window bounds in ONE bisection loop (the loop body is a
+        # dependent gather chain; stacking halves its length)
+        bounds = _bisect_range(
+            shard.wpos, lo, hi, jnp.stack([c_start, c_end + rlen])
+        )
+        beg0, last_end = bounds[0], bounds[1]
         n_occ = last_end - beg0
         overflow = n_occ > R
         n_occ_c = jnp.minimum(n_occ, R)
@@ -919,25 +940,31 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
 
         M = shard.wpos.shape[0]
 
-        def slice_one(arr, fill):
-            if M < R:
-                arr2 = jnp.concatenate(
-                    [arr, jnp.full(R - M, fill, arr.dtype)]
-                )
-                start2 = jnp.minimum(beg0, 0)
-            else:
-                arr2 = arr
-                start2 = jnp.minimum(beg0, M - R)
-            shift = beg0 - start2
-            return jnp.roll(
-                jax.lax.dynamic_slice(arr2, (start2,), (R,)), -shift
+        # ONE packed [6, R] slice + realignment roll fetches the whole
+        # occurrence window (wpos, hrow, prev_w, chain_b, next_w, strand)
+        tab = shard.pos_tab
+        if M < R:
+            pad = jnp.broadcast_to(
+                jnp.array(
+                    [I32_MAX, I32_MAX // 4, I32_MIN, -2, I32_MAX, 0],
+                    jnp.int32,
+                )[:, None],
+                (6, R - M),
             )
-
-        occ_w = jnp.where(occ_v, slice_one(shard.wpos, I32_MAX), I32_MAX)
-        occ_hrow = slice_one(shard.hrow_pos, I32_MAX // 4)
-        prev_w = slice_one(shard.prev_w_same, I32_MIN)
-        chb = slice_one(shard.chain_b, np.int32(-2))
-        next_ws = slice_one(shard.next_w_same, I32_MAX)
+            tab = jnp.concatenate([tab, pad], axis=1)
+            start2 = jnp.minimum(beg0, 0)
+        else:
+            start2 = jnp.minimum(beg0, M - R)
+        shift = beg0 - start2
+        sl = jnp.roll(
+            jax.lax.dynamic_slice(tab, (0, start2), (6, R)), -shift, axis=1
+        )
+        occ_w = jnp.where(occ_v, sl[0], I32_MAX)
+        occ_hrow = sl[1]
+        prev_w = sl[2]
+        chb = sl[3]
+        next_ws = sl[4]
+        occ_strand = sl[5]
 
         empty = n_occ_c <= 0
         p0 = jnp.where(empty, 0, occ_w[0])
@@ -983,6 +1010,7 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
             valid_cand=valid_cand, overflow=overflow, beg0=beg0, L=L,
             occ_w=occ_w, p0=p0, p_max=p_max, s=s, n_ev=n_ev,
             ev_key=ev_key, ev_sign=ev_sign, ev_qrank=ev_qrank,
+            occ_hrow=occ_hrow, next_ws=next_ws, occ_strand=occ_strand,
         )
 
     return setup
@@ -1101,11 +1129,17 @@ def _make_l2_one(cfg: MapKernelConfig, shard: DeviceShard):
 
 
 def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_key,
-                     sketch_size, read_lens, cand_seq, cand_start, cand_end):
+                     sketch_size, read_lens, cand_seq, cand_start, cand_end,
+                     q_strand=None):
     """Pallas event-sweep path over a whole candidate batch: event
     construction stays in XLA (vmapped, sort-light — see
     _make_candidate_setup_pos); the O(E*S) lockstep sweep + optimum fold run
-    as one pallas_call over the slab, directly in position space."""
+    as one pallas_call over the slab, directly in position space.
+
+    With ``q_strand`` [N, S] int8 given, strand votes over each candidate's
+    optimal map range are computed here too (row-space compares against the
+    already-sliced occurrence window — no extra slice/sorts; see finish) and
+    a sixth output is returned."""
     from .l2_pallas import l2_event_sweep_batch
 
     S = cfg.sketch_max
@@ -1127,7 +1161,10 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_key,
     first_p = out[:, 1]  # positions (the fold runs in position space)
     last_p = out[:, 2]
 
-    def finish(stt, b, fp, lp):
+    R = cfg.range_max
+    with_votes = q_strand is not None
+
+    def finish(stt, qk_row, qs_row, s, b, fp, lp):
         occ_w = stt["occ_w"]
         has_best = (b > 0) & stt["valid_cand"]
 
@@ -1145,15 +1182,55 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_key,
             jnp.sum((occ_w <= fp).astype(jnp.int32)) - 1, 0
         )
         oe = stt["beg0"] + jnp.sum((occ_w < fp + stt["L"]).astype(jnp.int32))
-        return (
+        ob = jnp.where(has_best, ob, 0)
+        oe = jnp.where(has_best, oe, 0)
+        res = (
             jnp.where(has_best, b, 0),
             mean_pos,
-            jnp.where(has_best, ob, 0),
-            jnp.where(has_best, oe, 0),
+            ob,
+            oe,
             stt["overflow"] & stt["valid_cand"],
         )
+        if not with_votes:
+            return res
 
-    return jax.vmap(finish)(st, best, first_p, last_p)
+        # strand votes over the optimal map range [ob, oe), entirely in row
+        # space on the window already sliced by setup (computeStatistics
+        # parity, slidingMap.hpp:232-254; host spec mapper_oracle
+        # ._strand_votes). Per distinct window hash the voting ref strand is
+        # the LAST position-order occurrence: rows with no same-hash
+        # successor inside the range (next_w_same > last window position).
+        # Query-side ranks come from the same 2*hrow+1 row-space compares as
+        # the setup's qrank (the sketch is sorted, so "commons with smaller
+        # hash" is a prefix count over slots).
+        r_abs = stt["beg0"] + jnp.arange(R, dtype=jnp.int32)
+        active = (r_abs >= ob) & (r_abs < oe) & has_best
+        w_end = jnp.max(jnp.where(active, occ_w, I32_MIN))
+        is_last = active & (stt["next_ws"] > w_end)
+        v_occ = 2 * stt["occ_hrow"] + 1  # [R]
+        qkc = qk_row[:SC]
+        il = is_last[:, None]
+        eq = il & (v_occ[:, None] == qkc[None, :])
+        lt = il & (v_occ[:, None] < qkc[None, :])
+        ref_lt = jnp.sum(lt.astype(jnp.int32), axis=0)  # [SC]
+        present = eq.any(axis=0)
+        strand_last = jnp.sum(
+            jnp.where(eq, stt["occ_strand"][:, None], 0), axis=0
+        )
+        pres_i = present.astype(jnp.int32)
+        commons_before = jnp.cumsum(pres_i) - pres_i
+        rank = jnp.arange(SC, dtype=jnp.int32) + ref_lt - commons_before
+        take = present & (rank < s)
+        votes = jnp.sum(
+            jnp.where(take, qs_row[:SC].astype(jnp.int32) * strand_last, 0),
+            dtype=jnp.int32,
+        )
+        return res + (votes,)
+
+    qs_arg = q_strand if with_votes else jnp.zeros_like(q_key, jnp.int8)
+    return jax.vmap(finish)(
+        st, q_key, qs_arg, sketch_size, best, first_p, last_p
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -1378,11 +1455,19 @@ def batch_l2_gather(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
     qs = q_strand[rows_c]
     ss = sketch_size[rows_c]
     qk = None if q_key is None else q_key[rows_c]
-    sh, mp, ob, oe, ovf = batch_l2_slab(
-        cfg, shard, qh, ss, read_lens[rows_c], c_seq, c_start, c_end,
-        q_key=qk,
-    )
-    votes = jax.vmap(_make_strand_votes(cfg, shard))(qh, qs, ss, ob, oe)
+    if cfg.l2_path == "pallas" and qk is not None:
+        # fused path: votes ride the candidate-window slice the L2 setup
+        # already fetched (no second slice, no merge sorts)
+        sh, mp, ob, oe, ovf, votes = _l2_pallas_batch(
+            cfg, shard, qk, ss, read_lens[rows_c], c_seq, c_start, c_end,
+            q_strand=qs,
+        )
+    else:
+        sh, mp, ob, oe, ovf = batch_l2_slab(
+            cfg, shard, qh, ss, read_lens[rows_c], c_seq, c_start, c_end,
+            q_key=qk,
+        )
+        votes = jax.vmap(_make_strand_votes(cfg, shard))(qh, qs, ss, ob, oe)
     return jnp.stack([sh, mp, ob, oe, ovf.astype(jnp.int32), votes])
 
 

@@ -94,6 +94,7 @@ def stack_shards(parts: List[SketchShard]):
         "chain_b": [],
         "next_w_same": [],
         "hrow_pos": [],
+        "pos_tab": [],
         "contig_offsets": [],
         "freq_threshold": [],
     }
@@ -162,6 +163,11 @@ def stack_shards(parts: List[SketchShard]):
             np.asarray(p.hash_pos_order, np.uint32),
         ).astype(np.int32)
         arrs["hrow_pos"].append(pad1(hrow, m_max, np.int32(2**30)))
+        arrs["pos_tab"].append(np.stack([
+            arrs["wpos"][-1], arrs["hrow_pos"][-1], arrs["prev_w_same"][-1],
+            arrs["chain_b"][-1], arrs["next_w_same"][-1],
+            arrs["strand_pos"][-1].astype(np.int32),
+        ]))
         co = np.full(c_max + 1, p.n_minimizers, np.int32)
         co[: len(p.contig_offsets)] = p.contig_offsets.astype(np.int32)
         arrs["contig_offsets"].append(co)
@@ -197,7 +203,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     ax_shard, ax_data = mesh.axis_names
 
     def local(hash_sorted, pair_byhash, wpos, hash_pos, strand_pos,
-              prev_w_same, chain_b, next_w_same, hrow_pos,
+              prev_w_same, chain_b, next_w_same, hrow_pos, pos_tab,
               contig_offsets, uniq_hash, uniq_start, bucket_start, kv32,
               dir_packed, freq_thr, reads_l, lens_l, minhits):
         # leading shard axis of size 1 inside the shard_map body
@@ -211,6 +217,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             chain_b=chain_b[0],
             next_w_same=next_w_same[0],
             hrow_pos=hrow_pos[0],
+            pos_tab=pos_tab[0],
             contig_offsets=contig_offsets[0],
             uniq_hash=uniq_hash[0],
             uniq_start=uniq_start[0],
@@ -250,7 +257,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
             P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
             P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
-            P(ax_shard), P(ax_data), P(ax_data), P(),
+            P(ax_shard), P(ax_shard), P(ax_data), P(ax_data), P(),
         ),
         out_specs=(P(None, ax_data), P(None, ax_data), P(None, ax_data)),
         check_vma=False,
@@ -261,7 +268,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
         stacked["hash_sorted"], stacked["pair_byhash"],
         stacked["wpos"], stacked["hash_pos"], stacked["strand_pos"],
         stacked["prev_w_same"], stacked["chain_b"], stacked["next_w_same"],
-        stacked["hrow_pos"],
+        stacked["hrow_pos"], stacked["pos_tab"],
         stacked["contig_offsets"], stacked["uniq_hash"], stacked["uniq_start"],
         stacked["bucket_start"], stacked["kv32"], stacked["dir_packed"],
         stacked["freq_threshold"].reshape(-1, 1),

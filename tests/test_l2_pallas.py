@@ -65,6 +65,47 @@ def test_pallas_matches_scatter_noisy(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_gather_fused_votes_match(setup):
+    """batch_l2_gather's pallas path computes strand votes fused into the
+    candidate-window slice (row-space compares); it must equal the scatter
+    path's merge-sort votes (_make_strand_votes) on every output, including
+    reads with revcomp segments and tandem repeats (duplicate window
+    hashes — the last-occurrence-strand rule)."""
+    import jax.numpy as jnp
+
+    from metamaps_tpu.ops.batch_map import batch_l2_gather, batch_lookup
+
+    rng, genomes, ds = setup
+    g = genomes[1]
+    seqs = [r[0] for r in sample_reads(rng, genomes, 5, min_len=2500,
+                                       max_len=3800, sub=0.08)]
+    seqs += [
+        revcomp(g[4000:7200]),
+        np.tile(g[9000:9360], 9),
+        np.concatenate([g[1000:2600], revcomp(g[15000:16600])]),
+    ]
+    cfg_sc = MapKernelConfig.for_read_len(4096, 16, 16, l2_impl="scatter")
+    cfg_pl = dataclasses.replace(cfg_sc, l2_impl="pallas", l2_interpret=True)
+    B = len(seqs)
+    reads = np.full((B, 4096), ord("A"), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i, sq in enumerate(seqs):
+        reads[i, : len(sq)] = sq
+        lens[i] = len(sq)
+    mh = jnp.asarray(_minhits_table(cfg_sc.sketch_max, 16, 80.0))
+    qh, qs, ss, _ = batch_sketch(cfg_sc, jnp.asarray(reads), jnp.asarray(lens))
+    _, _, _, qk = batch_lookup(cfg_sc, ds, qh)
+    cs, cst, cen, nc, ovf = batch_l1(cfg_sc, ds, qh, ss, jnp.asarray(lens), mh)
+    rd = jnp.asarray(np.repeat(np.arange(B), cfg_sc.cands_max))
+    lens_d = jnp.asarray(lens)
+    args = (qh, qs, ss, lens_d, rd, cs.reshape(-1), cst.reshape(-1),
+            cen.reshape(-1), qk)
+    out_sc = np.asarray(batch_l2_gather(cfg_sc, ds, *args))
+    out_pl = np.asarray(batch_l2_gather(cfg_pl, ds, *args))
+    np.testing.assert_array_equal(out_sc, out_pl)
+    assert (out_sc[5] != 0).any()  # votes are actually exercised
+
+
 def test_pallas_matches_scatter_adversarial(setup):
     rng, genomes, ds = setup
     g = genomes[0]
