@@ -108,6 +108,11 @@ class JaxMapperEngine:
         self._configs: Dict[int, MapKernelConfig] = {}
         # adaptive speculative expansion tier per bucket (phase 1a+1b)
         self._spec_tier: Dict[int, int] = {}
+        # adaptive device-routing plan per bucket: (tiers, caps) — see
+        # _adapt_route_plan. The first chunk of a bucket runs the
+        # host-routed path and seeds the plan from observed tier rates.
+        self._route_plan: Dict[int, Tuple[tuple, tuple]] = {}
+        self._route_rates: Dict[int, Dict[Tuple[int, int], float]] = {}
 
     def _config_for(self, bucket: int) -> MapKernelConfig:
         if bucket not in self._configs:
@@ -135,13 +140,17 @@ class JaxMapperEngine:
             else:
                 by_bucket.setdefault(b, []).append(i)
 
-        # phase 1a+1b: per chunk, enqueue sketch+lookup immediately followed
-        # by a SPECULATIVE expansion at the bucket's adaptive default H tier
-        # (rows = all reads) — no fetch sits between them, so the device
-        # stays busy and the routing information rides along with the
-        # expansion outputs in one combined fetch. Reads whose hit totals
-        # exceed the speculative tier are re-expanded at the right tier
-        # afterwards (rare; the tier adapts to the previous chunk's maximum).
+        # phase 1: per chunk, enqueue sketch+lookup immediately followed by
+        # a SPECULATIVE expansion at the bucket's adaptive default H tier
+        # (rows = all reads), and — once a routing plan exists for the
+        # bucket — the device-side L2 router plus every tier slab, all
+        # chained on device arrays. The host round trip between L1 and L2
+        # then leaves the critical path entirely: ONE combined fetch per
+        # chunk returns stage-1 routing metadata and the L2 slab outputs
+        # together. Hit-tier escalation (total > tier0), router capacity
+        # overflow, and missing-tier candidates are handled afterwards
+        # through the host-routed path (rare by construction — both the
+        # speculative tier and the routing plan adapt to observed chunks).
         import jax
 
         stage1 = []
@@ -154,34 +163,49 @@ class JaxMapperEngine:
                 spec = self._dispatch_stage1b_rows(
                     cfg, bucket, out, lens_d, None, tier0
                 )
-                stage1.append((bucket, chunk, out, lens_d, tier0, spec))
+                route = None
+                dslabs = []
+                plan = self._route_plan.get(bucket)
+                if plan is not None:
+                    route, dslabs = self._dispatch_l2_device(
+                        bucket, out, lens_d, spec, tier0, len(chunk), plan
+                    )
+                stage1.append(
+                    (bucket, chunk, out, lens_d, tier0, spec, route, dslabs)
+                )
 
-        for _, _, out, _, _, spec in stage1:
-            for a in (out[2], out[3], out[6], spec):
+        for _, _, out, _, _, spec, route, dslabs in stage1:
+            arrs = [out[2], out[3], out[6], spec]
+            if route is not None:
+                arrs += list(route) + [o for _, o in dslabs]
+            for a in arrs:
                 try:
                     a.copy_to_host_async()
                 except Exception:
                     break
 
-        # phase 1c: one combined fetch per chunk; escalate overflowing reads
-        stage1b = []
-        for bucket, chunk, out, lens_d, tier0, spec in stage1:
+        # phase 2: one combined fetch per chunk; escalate overflowing reads,
+        # route leftovers through the host path, adapt the plans
+        staged = []
+        for bucket, chunk, out, lens_d, tier0, spec, route, dslabs in stage1:
+            cfg = self._configs[bucket]
+            B = len(chunk)
+            C = cfg.cands_max
             t0 = time.perf_counter()
-            s_size, s_ovf, total, spec_h = jax.device_get(
-                (out[2], out[3], out[6], spec)
-            )
+            fetch = [out[2], out[3], out[6], spec]
+            if route is not None:
+                fetch += list(route) + [o for _, o in dslabs]
+            fetched = jax.device_get(fetch)
+            s_size, s_ovf, total, spec_h = fetched[:4]
             if _PROFILE:
                 print(
                     f"PROFILE mapper_jax: stage1 fetch bucket={bucket} "
-                    f"B={len(chunk)} {time.perf_counter() - t0:.3f}s",
+                    f"B={B} routed={route is not None} "
+                    f"{time.perf_counter() - t0:.3f}s",
                     file=sys.stderr,
                 )
-            cfg = self._configs[bucket]
-            groups = [(tier0, list(range(len(chunk))), spec_h)]
-            esc = [
-                r for r in range(len(chunk))
-                if tier0 < total[r] <= cfg.hits_max
-            ]
+            groups = [(tier0, list(range(B)), spec_h)]
+            esc = [r for r in range(B) if tier0 < total[r] <= cfg.hits_max]
             if esc:
                 tiers = _l1_h_tiers(cfg.hits_max)
                 tier1 = next(h for h in tiers if h >= max(total[r] for r in esc))
@@ -199,29 +223,54 @@ class JaxMapperEngine:
             tiers = _l1_h_tiers(cfg.hits_max)
             need = int(min(max(total.max(), 1), cfg.hits_max))
             self._spec_tier[bucket] = next(h for h in tiers if h >= need)
-            stage1b.append(
-                (bucket, chunk, out, lens_d, s_size, s_ovf, total, groups)
-            )
 
-        # phase 2: route candidates, enqueue L2
-        # (q_hash/q_strand stay device-only — strand votes run on device)
-        staged = []
-        for bucket, chunk, out, lens_d, s_size, s_ovf, total, groups in stage1b:
-            cfg = self._configs[bucket]
             host = self._assemble_l1(cfg, chunk, s_size, s_ovf, total, groups)
-            fallback, slabs = self._dispatch_l2(cfg, bucket, host, out, lens_d, chunk)
-            staged.append((bucket, chunk, host, fallback, slabs))
+            if route is None:
+                fallback, slabs = self._dispatch_l2(
+                    cfg, bucket, host, out, lens_d, chunk
+                )
+                grids = None
+            else:
+                coord_h, ovf_h = fetched[4:6]
+                slab_outs = fetched[6:]
+                grids = self._grids_from_device_slabs(
+                    cfg, B, coord_h, dslabs, slab_outs
+                )
+                # leftovers: router capacity/cover overflow + every
+                # candidate of escalated reads (excluded from routing)
+                leftover = {int(cd) for cd in ovf_h if cd >= 0}
+                for r in esc:
+                    leftover |= {r * C + c for c in range(C)}
+                fallback, slabs = self._dispatch_l2(
+                    cfg, bucket, host, out, lens_d, chunk, only=leftover
+                )
+                if _PROFILE and leftover:
+                    print(
+                        f"PROFILE mapper_jax: device-route leftovers "
+                        f"n={len(leftover)} (esc={len(esc)})",
+                        file=sys.stderr,
+                    )
+                n_ovf = int((np.asarray(ovf_h) >= 0).sum())
+            self._adapt_route_plan(cfg, bucket, host, B,
+                                   n_ovf if route is not None else 0)
+            staged.append((bucket, chunk, host, fallback, slabs, grids))
 
-        # phase 3: fetch L2 slabs and assemble results
-        for _, _, _, _, slabs in staged:
-            for _, out in slabs:
+        # phase 3: fetch host-routed slabs (if any) and assemble results
+        for _, _, _, _, slabs, _ in staged:
+            for _, o in slabs:
                 try:
-                    out.copy_to_host_async()
+                    o.copy_to_host_async()
                 except Exception:
                     break
-        for bucket, chunk, host, fallback, slabs in staged:
+        for bucket, chunk, host, fallback, slabs, grids in staged:
+            slabs_h = [
+                (grp, res)
+                for (grp, _), res in zip(
+                    slabs, jax.device_get([o for _, o in slabs])
+                )
+            ] if slabs else []
             self._collect(self._configs[bucket], bucket, chunk, seqs, results,
-                          host, fallback, slabs)
+                          host, fallback, slabs_h, grids)
         return results
 
     def _dispatch_stage1a(self, cfg, bucket, idxs, seqs):
@@ -317,10 +366,146 @@ class JaxMapperEngine:
                 n_occ[r] = arr[t, 2 + 3 * C : 2 + 4 * C]
         return (s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ)
 
-    def _dispatch_l2(self, cfg, bucket, host, dev, lens_d, chunk):
+    def _l2_sc_tiers(self, cfg) -> Tuple[int, ...]:
+        return tuple(
+            [x for x in (256, 512, 1024) if x < cfg.sketch_max]
+            + [cfg.sketch_max]
+        )
+
+    @staticmethod
+    def _l2_cfg_for_tier(cfg, rr, sc):
+        return dataclasses.replace(
+            cfg, range_max=rr, sketch_cols=sc,
+            event_cap=min(2 * rr, ((rr + rr // 4 + 127) // 128) * 128),
+        )
+
+    def _dispatch_l2_device(self, bucket, dev, lens_d, spec, tier0, n_chunk,
+                            plan):
+        """Enqueue the device-side L2 router (l2_route_device) and one
+        batch_l2_gather per planned slab, all chained on device arrays — no
+        host fetch precedes them. Returns ((slab_coord, ovf_coord) device
+        arrays, [((slot_offset, K), device_out), ...])."""
+        import jax.numpy as jnp
+
+        from ..ops.batch_map import batch_l2_gather, l2_route_device
+
+        cfg = self._configs[bucket]
+        t0 = time.perf_counter()
+        slab_fields, slab_coord, ovf_coord = l2_route_device(
+            cfg, spec, dev[2], dev[3], dev[6], jnp.int32(tier0),
+            jnp.int32(n_chunk), plan,
+        )
+        dslabs = []
+        off = 0
+        for rr, sc, K in plan:
+            cfg_r = self._l2_cfg_for_tier(cfg, rr, sc)
+            fl = slab_fields[off : off + K]
+            args = (self.device_shard, dev[0], dev[1], dev[2], lens_d,
+                    fl[:, 0], fl[:, 1], fl[:, 2], fl[:, 3], dev[7])
+            try:
+                o = batch_l2_gather(cfg_r, *args)
+            except Exception:
+                if cfg_r.l2_path == "pallas":
+                    # pallas unavailable on this backend: permanently
+                    # fall back to the scatter path for this bucket
+                    cfg = dataclasses.replace(cfg, l2_impl="scatter")
+                    self._configs[bucket] = cfg
+                    cfg_r = dataclasses.replace(cfg_r, l2_impl="scatter")
+                    o = batch_l2_gather(cfg_r, *args)
+                else:
+                    raise
+            dslabs.append(((off, K), o))
+            off += K
+        if _PROFILE:
+            print(
+                f"PROFILE mapper_jax: l2 device route plan={plan} "
+                f"{time.perf_counter() - t0:.3f}s",
+                file=sys.stderr,
+            )
+        return (slab_coord, ovf_coord), dslabs
+
+    def _grids_from_device_slabs(self, cfg, B, coord_h, dslabs, slab_outs):
+        """Scatter fetched device-routed slab outputs into the per-chunk
+        [B, C] result grids _collect consumes."""
+        C = cfg.cands_max
+        shared = np.zeros((B, C), np.int32)
+        mean_pos = np.zeros((B, C), np.int32)
+        votes = np.zeros((B, C), np.int32)
+        l2_ovf = np.zeros((B, C), bool)
+        coord_h = np.asarray(coord_h)
+        for ((off, K), _), res in zip(dslabs, slab_outs):
+            cds = coord_h[off : off + K]
+            v = cds >= 0
+            r = cds[v] // C
+            c = cds[v] % C
+            shared[r, c] = res[0][v]
+            mean_pos[r, c] = res[1][v]
+            l2_ovf[r, c] = res[4][v] != 0
+            votes[r, c] = res[5][v]
+        return shared, mean_pos, votes, l2_ovf
+
+    def _adapt_route_plan(self, cfg, bucket, host, n_chunk, n_overflow=0):
+        """Grow the bucket's device-routing slab plan from this chunk's
+        observed per-tier candidate rates (per read, so capacities scale to
+        full chunks). The plan lays slabs over the (n_occ, s)-descending
+        candidate stream exactly like the host packer: walk the planned tier
+        zones in descending (rr, sc) order, each slab shaped by the zone its
+        first slot falls in and absorbing following smaller candidates.
+        Grow-only: a changed plan recompiles the router once; rates
+        stabilize after the first chunks of a workload."""
+        (s_size, s_ovf, c_seq, _, _, n_c, l1_ovf, n_occ) = host
+        r_buckets = _l2_range_buckets(cfg.range_max)
+        sc_tiers = self._l2_sc_tiers(cfg)
+        s_host = np.asarray(s_size)
+        need: Dict[Tuple[int, int], int] = {}
+        for r in range(len(n_c)):
+            if s_ovf[r] or l1_ovf[r]:
+                continue
+            sc = next(x for x in sc_tiers if x >= s_host[r])
+            for c in range(int(n_c[r])):
+                no = int(n_occ[r, c])
+                if c_seq[r, c] < 0 or no > cfg.range_max:
+                    continue
+                rr = next(x for x in r_buckets if x >= no)
+                need[(rr, sc)] = need.get((rr, sc), 0) + 1
+        old = self._route_rates.get(bucket, {})
+        rates = dict(old)
+        for key, n in need.items():
+            rates[key] = max(rates.get(key, 0.0), n / max(n_chunk, 1))
+        self._route_rates[bucket] = rates
+        # a plan rebuild shifts slab zone boundaries and can demand new
+        # compiled slab shapes (expensive) — keep the existing plan unless
+        # it actually overflowed on a meaningful fraction of the chunk's
+        # candidates
+        if bucket in self._route_plan:
+            n_cands = sum(need.values())
+            if n_overflow <= max(8, 0.1 * max(n_cands, 1)):
+                return
+        # planned zone sizes in descending (rr, sc) order, 15% headroom
+        zones = sorted(rates, reverse=True)
+        counts = [int(np.ceil(rates[z] * self.CHUNK * 1.15)) for z in zones]
+        total = min(sum(counts), self.CHUNK * cfg.cands_max)
+        slabs = []
+        pos = 0
+        zi = 0
+        consumed = 0
+        while pos < total:
+            while zi < len(zones) - 1 and pos >= consumed + counts[zi]:
+                consumed += counts[zi]
+                zi += 1
+            rr, sc = zones[zi]
+            K = min(_l2_slab_k(rr), self.CHUNK * cfg.cands_max - pos)
+            slabs.append((rr, sc, K))
+            pos += K
+        self._route_plan[bucket] = tuple(slabs)
+
+    def _dispatch_l2(self, cfg, bucket, host, dev, lens_d, chunk, only=None):
         """Route each real candidate to the smallest sufficient L2 range
         bucket and enqueue the slab dispatches. Returns (fallback[B] bool,
-        [(coords, cfg_r, device_out), ...])."""
+        [(coords, cfg_r, device_out), ...]). With ``only`` (a set of
+        r * C + c coords) given, only those candidates are scored — the
+        leftover path behind the device router — while the fallback flags
+        are still computed for every read of the chunk."""
         import jax.numpy as jnp
 
         from ..ops.batch_map import batch_l2_gather
@@ -331,10 +516,7 @@ class JaxMapperEngine:
         fallback = np.zeros(B, bool)
         r_buckets = _l2_range_buckets(cfg.range_max)
         s_host = np.asarray(s_size)
-        sc_tiers = tuple(
-            [x for x in (256, 512, 1024) if x < cfg.sketch_max]
-            + [cfg.sketch_max]
-        )
+        sc_tiers = self._l2_sc_tiers(cfg)
         # slab key = (range tier, sketch-column tier): keeps slabs large AND
         # homogeneous, so the compiled shape fits every member tightly
         per_key: Dict[Tuple[int, int], List[Tuple[int, int]]] = {}
@@ -351,6 +533,8 @@ class JaxMapperEngine:
                     # candidate range exceeds even the worst-case capacity
                     fallback[r] = True
                     break
+                if only is not None and (r * cfg.cands_max + c) not in only:
+                    continue
                 rr = next(x for x in r_buckets if x >= no)
                 per_key.setdefault((rr, sc), []).append((r, c))
 
@@ -385,10 +569,7 @@ class JaxMapperEngine:
                 cs[t] = c_seq[r, c]
                 cst[t] = c_start[r, c]
                 cen[t] = c_end[r, c]
-            cfg_r = dataclasses.replace(
-                cfg, range_max=rr, sketch_cols=sc,
-                event_cap=min(2 * rr, ((rr + rr // 4 + 127) // 128) * 128),
-            )
+            cfg_r = self._l2_cfg_for_tier(cfg, rr, sc)
             args = (self.device_shard, dq_hash, dq_strand, ds_size,
                     lens_d, jnp.asarray(rows), jnp.asarray(cs),
                     jnp.asarray(cst), jnp.asarray(cen), dev[7])
@@ -416,36 +597,30 @@ class JaxMapperEngine:
             )
         return fallback, slabs
 
-    def _collect(self, cfg, bucket, idxs, seqs, results, host, fallback, slabs):
-        import jax
-
+    def _collect(self, cfg, bucket, idxs, seqs, results, host, fallback,
+                 slabs, grids=None):
+        """Assemble per-read mappings from host-routed slab results (slabs:
+        [(grp coords, fetched [6, K] array)]) merged over device-routed
+        result grids (``grids`` from _grids_from_device_slabs, or None)."""
         (s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ) = host
         B = len(idxs)
         C = cfg.cands_max
         lens = np.array([len(seqs[i]) for i in idxs], np.int32)
 
-        shared = np.zeros((B, C), np.int32)
-        mean_pos = np.zeros((B, C), np.int32)
-        votes_arr = np.zeros((B, C), np.int32)
-        l2_ovf = np.zeros((B, C), bool)
-        t_fetch = time.perf_counter()
-        # ONE device_get for every slab of this chunk: each fetch call is a
-        # full tunnel round trip (~30 ms), so per-slab fetches would dominate
-        fetched = jax.device_get([out for _, out in slabs])
-        for (grp, _), res in zip(slabs, fetched):
+        if grids is None:
+            shared = np.zeros((B, C), np.int32)
+            mean_pos = np.zeros((B, C), np.int32)
+            votes_arr = np.zeros((B, C), np.int32)
+            l2_ovf = np.zeros((B, C), bool)
+        else:
+            shared, mean_pos, votes_arr, l2_ovf = grids
+        for grp, res in slabs:
             sh, mp, ob, oe, ov, vt = res
             for t, (r, c) in enumerate(grp):
                 shared[r, c] = sh[t]
                 mean_pos[r, c] = mp[t]
                 votes_arr[r, c] = vt[t]
                 l2_ovf[r, c] = bool(ov[t])
-        if _PROFILE:
-            print(
-                f"PROFILE mapper_jax: bucket={bucket} B={B} "
-                f"l2 fetch+wait={time.perf_counter() - t_fetch:.3f}s "
-                f"cands={int((np.asarray(c_seq)[:B] >= 0).sum())}",
-                file=sys.stderr,
-            )
 
         t_post = time.perf_counter()
         k = self.params.kmer_size

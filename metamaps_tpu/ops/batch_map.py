@@ -1327,6 +1327,105 @@ def map_batch_stage1b(cfg: MapKernelConfig, shard: DeviceShard, rows, start,
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "slabs"))
+def l2_route_device(cfg: MapKernelConfig, spec_out, s_size, s_ovf, total,
+                    tier0, n_rows, slabs):
+    """Device-side L2 slab routing: packs the chunk's candidates into a
+    STATIC slab plan so the host round trip between L1 and L2 leaves the
+    critical path (the L2 dispatches chain on the returned arrays directly;
+    the host sees routing metadata only in the single combined fetch at the
+    end of the chunk).
+
+    ``slabs`` = static ((rr, sc, K), ...) laid out over the candidate stream
+    sorted DESCENDING by (n_occ, sketch size) — the same cross-tier packing
+    rule as the host router (_dispatch_l2): a slab absorbs following smaller
+    candidates into its free slots. The plan comes from previously observed
+    per-tier rates (engine._adapt_route_plan); slot t's static (rr, sc) must
+    cover its actual member (n_occ <= rr and s <= sc) — members that land on
+    a too-small slot (plan/chunk mismatch) and members beyond the plan's
+    total capacity are emitted as overflow coords for the host's leftover
+    path instead.
+
+    Reads excluded from routing entirely (host handles them, rare): sketch
+    overflow, L1 overflow, hit totals above tier0 (escalation), any
+    candidate range above cfg.range_max (oracle fallback), batch padding
+    rows (row >= n_rows).
+
+    Returns (slab_fields [T, 4] int32 (read row, c_seq, c_start, c_end;
+    padding/uncovered slots have c_seq = -1), slab_coord [T] int32
+    (r * C + c, -1 padding), ovf_coord [N] int32 (-1 padded,
+    front-compacted)), T = sum of slab Ks."""
+    B = spec_out.shape[0]
+    C = cfg.cands_max
+    N = B * C
+    T = sum(k for _, _, k in slabs)
+
+    l1_ovf = spec_out[:, 1] > 0
+    c_seq = spec_out[:, 2 : 2 + C]
+    c_start = spec_out[:, 2 + C : 2 + 2 * C]
+    c_end = spec_out[:, 2 + 2 * C : 2 + 3 * C]
+    n_occ = spec_out[:, 2 + 3 * C : 2 + 4 * C]
+
+    cand_real = c_seq >= 0
+    read_bad = (
+        s_ovf | l1_ovf | (total > tier0)
+        | (cand_real & (n_occ > cfg.range_max)).any(axis=1)
+        | (jnp.arange(B, dtype=jnp.int32) >= n_rows)  # batch padding rows
+    )
+    valid = cand_real & ~read_bad[:, None]
+
+    # descending (n_occ, s) stream: key = n_occ << 16 | s (both < 2^16 by
+    # construction), invalid candidates sort last
+    s_bc = jnp.broadcast_to(s_size[:, None], (B, C))
+    key = jnp.where(
+        valid, -(n_occ * 65536 + s_bc), I32_MAX
+    ).reshape(N)
+    coord = jnp.arange(N, dtype=jnp.int32)
+    row = coord // C
+    (key_s, coord_s, row_s, cs_s, cst_s, cen_s, no_s, ss_s) = jax.lax.sort(
+        (key, coord, row, c_seq.reshape(N), c_start.reshape(N),
+         c_end.reshape(N), n_occ.reshape(N), s_bc.reshape(N)),
+        num_keys=1, is_stable=True,
+    )
+    if T > N:  # plan sized for a bigger chunk: pad with invalid slots
+        def padto(a, fill):
+            return jnp.concatenate([a, jnp.full(T - N, fill, a.dtype)])
+
+        key_s = padto(key_s, I32_MAX)
+        coord_s, row_s = padto(coord_s, -1), padto(row_s, 0)
+        cs_s, cst_s, cen_s = padto(cs_s, -1), padto(cst_s, 0), padto(cen_s, 0)
+        no_s, ss_s = padto(no_s, I32_MAX), padto(ss_s, I32_MAX)
+        N = T
+    valid_s = key_s != I32_MAX
+
+    # static per-slot cover shapes from the plan
+    rr_at = np.concatenate([np.full(k, rr, np.int32) for rr, _, k in slabs])
+    sc_at = np.concatenate([np.full(k, sc, np.int32) for _, sc, k in slabs])
+    covered = (
+        valid_s[:T] & (no_s[:T] <= rr_at) & (ss_s[:T] <= sc_at)
+    )
+    slab_fields = jnp.stack(
+        [
+            jnp.where(covered, row_s[:T], 0),
+            jnp.where(covered, cs_s[:T], -1),
+            jnp.where(covered, cst_s[:T], 0),
+            jnp.where(covered, cen_s[:T], 0),
+        ],
+        axis=1,
+    )
+    slab_coord = jnp.where(covered, coord_s[:T], -1)
+
+    # overflow: valid members on uncovered slots or beyond the plan
+    ovf = valid_s & jnp.concatenate(
+        [~covered, jnp.ones(max(N - T, 0), bool)]
+    )
+    _, ovf_coord = jax.lax.sort(
+        (jnp.where(ovf, 0, 1), jnp.where(ovf, coord_s, -1)), num_keys=1,
+        is_stable=True,
+    )
+    return slab_fields, slab_coord, ovf_coord
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def map_batch_stage1(cfg: MapKernelConfig, shard: DeviceShard, reads, read_lens,
                      minhits_table):

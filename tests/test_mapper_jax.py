@@ -112,3 +112,30 @@ def test_batch_protein_alphabet_matches_oracle():
         assert [as_tuple(m) for m in got[i]] == [as_tuple(m) for m in want], f"read {i}"
         n_with_hits += bool(want)
     assert n_with_hits >= 6  # the protein reads actually map
+
+
+def test_device_routed_l2_matches_oracle(setup):
+    """With CHUNK shrunk, later chunks take the device-routed L2 path
+    (router + tier slabs enqueued before any host fetch); outputs must stay
+    identical to the oracle, including escalation/overflow leftovers."""
+    rng, genomes, params, shard = setup
+    reads = sample_reads(rng, genomes, 30, min_len=2000, max_len=7000,
+                         sub=0.08)
+    seqs = [r[0] for r in reads]
+    g = genomes[1]
+    seqs += [np.tile(g[2000:2400], 8), revcomp(g[10000:14000])]
+    engine = JaxMapperEngine(shard, params)
+    engine.CHUNK = 8  # ~4 chunks: chunk 1 seeds the plan, rest ride it
+    got = engine.map_reads(seqs)
+    assert engine._route_plan, "routing plan was never seeded"
+    for i, seq in enumerate(seqs):
+        want = mapper_oracle.map_read(shard, params, seq)
+        assert [as_tuple(m) for m in got[i]] == [
+            as_tuple(m) for m in want
+        ], f"read {i}"
+
+    # a second call starts device-routed from the first chunk
+    got2 = engine.map_reads(seqs[:10])
+    for i in range(10):
+        want = mapper_oracle.map_read(shard, params, seqs[i])
+        assert [as_tuple(m) for m in got2[i]] == [as_tuple(m) for m in want]
