@@ -1,26 +1,29 @@
 """Batched device mapping engine.
 
 Drives the kernels in metamaps_tpu.ops.batch_map over length-bucketed read
-batches in a three-phase routed pipeline:
+chunks as one long device dispatch chain with a SINGLE host fetch on the
+steady-state critical path:
 
-  phase 1  per read chunk: sketch + index lookup (map_batch_stage1a)
+  phase 1  per read chunk: sketch + index lookup (map_batch_stage1a),
            immediately followed by a SPECULATIVE expansion
            (map_batch_stage1b) at the bucket's adaptive default hit
-           capacity — no fetch sits on the critical path between them.
-           Reads whose hit totals exceed the speculative tier are
-           re-expanded at the right tier after the combined fetch (rare;
-           the tier tracks the previous chunk's maximum). The expansion
-           sorts/gathers/detector all scale with H;
-  phase 2  per chunk, candidates are routed to an L2 kernel compiled for
-           the smallest sufficient (range, sketch-column) capacity
-           (batch_l2_gather) — L2 cost scales with both;
-  phase 3  L2 slab outputs are fetched and assembled; acceptance
-           statistics (CI bounds) run on host, strand votes on device.
+           capacity, the device-side L2 slab router (l2_route_device, once
+           the bucket's plan is seeded), and every planned L2 slab
+           (batch_l2_gather at its (range, sketch-column) tier) — all
+           chained on device arrays, no fetch in between;
+  phase 2  ONE combined device_get over every chunk returns stage-1
+           metadata, routing coords, and L2 slab outputs together. Rare
+           repairs then run host-routed: hit-tier escalation (totals above
+           the speculative tier), router plan overflow, and uncovered
+           candidates; both the speculative tier and the slab plan adapt to
+           observed chunks so these vanish in steady state;
+  phase 3  results assemble on host (vectorized acceptance CI bounds);
+           strand votes already rode the L2 slabs.
 
-All dispatches of a phase are enqueued before the first fetch of the next,
-so device compute overlaps transfers and host post-processing. Reads that
-overflow the static kernel shapes fall back to the serial oracle — outputs
-are identical to :mod:`metamaps_tpu.engine.mapper_oracle` either way.
+The first chunk of a bucket runs the legacy host-routed L2 path (fetch ->
+route -> dispatch) and seeds the routing plan. Reads that overflow the
+static kernel shapes fall back to the serial oracle — outputs are identical
+to :mod:`metamaps_tpu.engine.mapper_oracle` either way.
 
 Set METAMAPS_TPU_PROFILE=1 for per-batch stage timings on stderr (the
 analog of the reference's ENABLE_TIME_PROFILE_L1_L2,
@@ -184,26 +187,30 @@ class JaxMapperEngine:
                 except Exception:
                     break
 
-        # phase 2: one combined fetch per chunk; escalate overflowing reads,
-        # route leftovers through the host path, adapt the plans
-        staged = []
+        # phase 2: ONE combined fetch for every chunk (each device_get call
+        # is a full tunnel round trip); then per chunk: escalate overflowing
+        # reads, route leftovers through the host path, adapt the plans
+        t0 = time.perf_counter()
+        all_fetch = []
         for bucket, chunk, out, lens_d, tier0, spec, route, dslabs in stage1:
-            cfg = self._configs[bucket]
-            B = len(chunk)
-            C = cfg.cands_max
-            t0 = time.perf_counter()
             fetch = [out[2], out[3], out[6], spec]
             if route is not None:
                 fetch += list(route) + [o for _, o in dslabs]
-            fetched = jax.device_get(fetch)
+            all_fetch.append(fetch)
+        all_fetched = jax.device_get(all_fetch)
+        if _PROFILE:
+            print(
+                f"PROFILE mapper_jax: combined fetch chunks={len(stage1)} "
+                f"{time.perf_counter() - t0:.3f}s",
+                file=sys.stderr,
+            )
+        staged = []
+        for (bucket, chunk, out, lens_d, tier0, spec, route, dslabs), \
+                fetched in zip(stage1, all_fetched):
+            cfg = self._configs[bucket]
+            B = len(chunk)
+            C = cfg.cands_max
             s_size, s_ovf, total, spec_h = fetched[:4]
-            if _PROFILE:
-                print(
-                    f"PROFILE mapper_jax: stage1 fetch bucket={bucket} "
-                    f"B={B} routed={route is not None} "
-                    f"{time.perf_counter() - t0:.3f}s",
-                    file=sys.stderr,
-                )
             groups = [(tier0, list(range(B)), spec_h)]
             esc = [r for r in range(B) if tier0 < total[r] <= cfg.hits_max]
             if esc:
