@@ -381,46 +381,40 @@ class JaxMapperEngine:
 
     @staticmethod
     def _l2_cfg_for_tier(cfg, rr, sc):
-        return dataclasses.replace(
-            cfg, range_max=rr, sketch_cols=sc,
-            event_cap=min(2 * rr, ((rr + rr // 4 + 127) // 128) * 128),
-        )
+        from ..ops.batch_map import l2_cfg_for_tier
+
+        return l2_cfg_for_tier(cfg, rr, sc)
 
     def _dispatch_l2_device(self, bucket, dev, lens_d, spec, tier0, n_chunk,
                             plan):
-        """Enqueue the device-side L2 router (l2_route_device) and one
-        batch_l2_gather per planned slab, all chained on device arrays — no
-        host fetch precedes them. Returns ((slab_coord, ovf_coord) device
+        """Enqueue the device-side L2 router plus every planned slab as ONE
+        fused dispatch (l2_route_and_score), chained on device arrays — no
+        host fetch precedes it. Returns ((slab_coord, ovf_coord) device
         arrays, [((slot_offset, K), device_out), ...])."""
         import jax.numpy as jnp
 
-        from ..ops.batch_map import batch_l2_gather, l2_route_device
+        from ..ops.batch_map import l2_route_and_score
 
         cfg = self._configs[bucket]
         t0 = time.perf_counter()
-        slab_fields, slab_coord, ovf_coord = l2_route_device(
-            cfg, spec, dev[2], dev[3], dev[6], jnp.int32(tier0),
-            jnp.int32(n_chunk), plan,
-        )
+        args = (self.device_shard, dev[0], dev[1], dev[2], dev[3], dev[6],
+                lens_d, dev[7], spec, jnp.int32(tier0), jnp.int32(n_chunk))
+        try:
+            slab_coord, ovf_coord, outs = l2_route_and_score(cfg, *args, plan)
+        except Exception:
+            if cfg.l2_path == "pallas":
+                # pallas unavailable on this backend: permanently fall back
+                # to the scatter path for this bucket
+                cfg = dataclasses.replace(cfg, l2_impl="scatter")
+                self._configs[bucket] = cfg
+                slab_coord, ovf_coord, outs = l2_route_and_score(
+                    cfg, *args, plan
+                )
+            else:
+                raise
         dslabs = []
         off = 0
-        for rr, sc, K in plan:
-            cfg_r = self._l2_cfg_for_tier(cfg, rr, sc)
-            fl = slab_fields[off : off + K]
-            args = (self.device_shard, dev[0], dev[1], dev[2], lens_d,
-                    fl[:, 0], fl[:, 1], fl[:, 2], fl[:, 3], dev[7])
-            try:
-                o = batch_l2_gather(cfg_r, *args)
-            except Exception:
-                if cfg_r.l2_path == "pallas":
-                    # pallas unavailable on this backend: permanently
-                    # fall back to the scatter path for this bucket
-                    cfg = dataclasses.replace(cfg, l2_impl="scatter")
-                    self._configs[bucket] = cfg
-                    cfg_r = dataclasses.replace(cfg_r, l2_impl="scatter")
-                    o = batch_l2_gather(cfg_r, *args)
-                else:
-                    raise
+        for (rr, sc, K), o in zip(plan, outs):
             dslabs.append(((off, K), o))
             off += K
         if _PROFILE:
@@ -639,35 +633,49 @@ class JaxMapperEngine:
         )
         n_fallback = 0
         t_votes = 0.0
+        # bulk-convert the per-candidate grids to python lists once — scalar
+        # numpy indexing in the loop below costs ~50x a list index
+        need_fb = np.asarray(fallback) | l2_ovf.any(axis=1)
+        shared_l = shared.tolist()
+        mean_l = mean_pos.tolist()
+        votes_l = votes_arr.tolist()
+        ok_l = ok_all.tolist()
+        nuc_l = nuc_all.tolist()
+        ub_l = ub_all.tolist()
+        cseq_l = np.asarray(c_seq).tolist()
+        ssize_l = np.asarray(s_size)[:B].tolist()
+        nc_l = np.asarray(n_c).tolist()
+        lens_l = lens.tolist()
         for r, i in enumerate(idxs):
-            if fallback[r] or l2_ovf[r].any():
+            if need_fb[r]:
                 n_fallback += 1
                 results[i] = mapper_oracle.map_read(self.shard, self.params, seqs[i])
                 continue
-            s = int(s_size[r])
+            s = ssize_l[r]
             if s == 0:
                 results[i] = []
                 continue
             out: List[ReadMapping] = []
-            for c in range(int(n_c[r])):
-                sh = int(shared[r, c])
-                if not ok_all[r, c]:
+            sh_r, ok_r = shared_l[r], ok_l[r]
+            ln = lens_l[r]
+            for c in range(nc_l[r]):
+                if not ok_r[c]:
                     continue
-                nuc, ub = float(nuc_all[r, c]), float(ub_all[r, c])
+                sh = sh_r[c]
                 if sh > 0:
-                    strand = 1 if votes_arr[r, c] > 0 else -1
-                    pos = int(mean_pos[r, c])
+                    strand = 1 if votes_l[r][c] > 0 else -1
+                    pos = mean_l[r][c]
                 else:
                     strand = -1
                     pos = 0
                 out.append(
                     ReadMapping(
-                        query_len=int(lens[r]),
+                        query_len=ln,
                         ref_start=pos,
-                        ref_end=pos + int(lens[r]) - 1,
-                        ref_seqid=int(c_seq[r, c]),
-                        nuc_identity=nuc,
-                        nuc_identity_ub=ub,
+                        ref_end=pos + ln - 1,
+                        ref_seqid=cseq_l[r][c],
+                        nuc_identity=nuc_l[r][c],
+                        nuc_identity_ub=ub_l[r][c],
                         sketch_size=s,
                         conserved=sh,
                         strand=strand,

@@ -1426,6 +1426,39 @@ def l2_route_device(cfg: MapKernelConfig, spec_out, s_size, s_ovf, total,
     return slab_fields, slab_coord, ovf_coord
 
 
+def l2_cfg_for_tier(cfg: MapKernelConfig, rr: int, sc: int) -> MapKernelConfig:
+    """The slab kernel config for a (range, sketch-column) tier."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, range_max=rr, sketch_cols=sc,
+        event_cap=min(2 * rr, ((rr + rr // 4 + 127) // 128) * 128),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "plan"))
+def l2_route_and_score(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
+                       q_strand, sketch_size, s_ovf, total, read_lens, q_key,
+                       spec_out, tier0, n_rows, plan):
+    """Device router + every planned L2 slab in ONE dispatch (each host
+    enqueue costs ~2.5 ms of fixed overhead; the router and its slabs always
+    run together). Returns (slab_coord [T], ovf_coord [N], [slab outs])."""
+    slab_fields, slab_coord, ovf_coord = l2_route_device(
+        cfg, spec_out, sketch_size, s_ovf, total, tier0, n_rows, plan
+    )
+    outs = []
+    off = 0
+    for rr, sc, K in plan:
+        cfg_r = l2_cfg_for_tier(cfg, rr, sc)
+        fl = slab_fields[off : off + K]
+        outs.append(batch_l2_gather(
+            cfg_r, shard, q_hash, q_strand, sketch_size, read_lens,
+            fl[:, 0], fl[:, 1], fl[:, 2], fl[:, 3], q_key,
+        ))
+        off += K
+    return slab_coord, ovf_coord, outs
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def map_batch_stage1(cfg: MapKernelConfig, shard: DeviceShard, reads, read_lens,
                      minhits_table):
