@@ -387,11 +387,18 @@ def batch_sketch(cfg: MapKernelConfig, reads, read_lens):
 
     key, st = jax.vmap(one)(reads, read_lens)
     nw = key.shape[1]
-    wid = jnp.broadcast_to(jnp.arange(nw, dtype=jnp.int32), (B, nw))
-    # sort by (hash, window pos): first occurrence of each hash leads
-    ks, _, sts = jax.lax.sort(
-        (key, wid, st.astype(jnp.int32)), dimension=1, num_keys=2
+    # pack the strand into the window-id payload's low bit (wid is distinct
+    # per column, so ordering is unchanged) — one fewer operand through the
+    # full-width sort
+    wid2 = (
+        jnp.broadcast_to(
+            jnp.arange(nw, dtype=jnp.int32) * 2, (B, nw)
+        )
+        + (st > 0).astype(jnp.int32)
     )
+    # sort by (hash, window pos): first occurrence of each hash leads
+    ks, wid2s = jax.lax.sort((key, wid2), dimension=1, num_keys=2)
+    sts = jnp.where((wid2s & 1) == 1, jnp.int32(1), jnp.int32(-1))
     uniq = (ks != U32_MAX) & jnp.concatenate(
         [jnp.ones((B, 1), bool), ks[:, 1:] != ks[:, :-1]], axis=1
     )
