@@ -65,9 +65,14 @@ def main():
 
     reads = make_reads(rng, genomes, 512)
 
-    # warmup (compile + tunnel channel setup); one full chunk so the timed
-    # runs reuse the compiled shapes
-    engine.map_reads(reads[:128])
+    # warmup (compile + tunnel channel setup): two full 256-read chunks at
+    # the timed batch shape — the first bootstraps the host-routed path and
+    # seeds the L2 routing plan, the second compiles the device-routed
+    # router + slab kernels at that plan. The timed runs then reuse every
+    # compiled shape (smaller warmup chunks would compile a whole extra
+    # shape family, which congested-tunnel compiles make expensive).
+    engine.map_reads(reads[:256])
+    engine.map_reads(reads[:256])
 
     # the shared-tunnel TPU has large run-to-run variance; report the best
     # of three measurements (the first also absorbs stragglers' compiles)
