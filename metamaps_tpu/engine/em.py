@@ -272,11 +272,26 @@ def em_iterate(table: MappingTable, f: np.ndarray) -> Tuple[np.ndarray, float]:
     return f_next, ll
 
 
+#: block width of the device EM's segmented scans. associative_scan over a
+#: flat [L] axis unrolls ~log2(L) full-length steps and its XLA compile
+#: time explodes with L (cf. ops/winnow.py's 450 s at 2e6); scanning [Lb,
+#: BS] blocks along the static BS axis plus a tiny cross-block carry scan
+#: compiles in seconds at any number of mapping lines.
+EM_SCAN_BLOCK = 8192
+
+
 def make_em_iterate_jax(table: MappingTable, dtype=None):
     """Device EM round: the same segment-sum formulation as
     :func:`em_iterate`, jitted over flat device-resident arrays. Returns a
     function f -> (f_next, ll). Used by the throughput benchmark and the
-    multi-chip path (metamaps_tpu.parallel.mesh adds the psum)."""
+    multi-chip path (metamaps_tpu.parallel.mesh adds the psum).
+
+    read_of_line is nondecreasing (lines grouped per read), so per-read
+    sums and their spread back to lines are BLOCKED segmented scans:
+    within-block scans over a static 8k axis + a cross-block carry scan —
+    scatter/gather-free and with compile time independent of the mapping
+    file size (see EM_SCAN_BLOCK). Per-read accumulation never differences
+    large prefix sums, so float32 precision matches the flat scan."""
     import jax
     import jax.numpy as jnp
 
@@ -285,15 +300,24 @@ def make_em_iterate_jax(table: MappingTable, dtype=None):
     n_tax = len(table.taxon_list)
     tax = jnp.asarray(table.taxon_of_line)
     rid_h = table.read_of_line.astype(np.int32)
-    rid = jnp.asarray(rid_h)
-    coef = jnp.asarray((table.inv_locations * table.mapq).astype(dtype))
-    # read_of_line is nondecreasing (lines grouped per read), so per-read
-    # sums and their spread back to lines are segmented scans — scatter/
-    # gather-free (both are scalarized on TPU; scans run on the VPU)
-    is_last = np.ones(len(rid_h), bool)
-    if len(rid_h) > 1:
-        is_last[:-1] = rid_h[1:] != rid_h[:-1]
-    is_last = jnp.asarray(is_last)
+    L = len(rid_h)
+    BS = EM_SCAN_BLOCK
+    Lb = max(1, (L + BS - 1) // BS)
+    Lp = Lb * BS
+    rid_p = np.full(Lp, -2, np.int32)  # padding = its own segment
+    rid_p[:L] = rid_h
+    rid2d = jnp.asarray(rid_p.reshape(Lb, BS))
+    is_last = np.zeros(Lp, bool)
+    is_last[L - 1] = True
+    if L > 1:
+        is_last[: L - 1] = rid_h[1:] != rid_h[:-1]
+    is_last2d = jnp.asarray(is_last.reshape(Lb, BS))
+    coef_p = np.zeros(Lp)
+    coef_p[:L] = table.inv_locations * table.mapq
+    coef2d = jnp.asarray(coef_p.astype(dtype).reshape(Lb, BS))
+    tax_p = np.zeros(Lp, np.int32)
+    tax_p[:L] = table.taxon_of_line
+    tax2d = jnp.asarray(tax_p.reshape(Lb, BS))
 
     def comb_sum(a, b):
         ra, va = a
@@ -305,17 +329,37 @@ def make_em_iterate_jax(table: MappingTable, dtype=None):
         rb, vb = b
         return rb, jnp.where(ra == rb, va, vb)
 
+    def blocked_scan(r2d, x2d, comb, correct):
+        """Inclusive segmented scan of (r2d, x2d) along the flattened line
+        order: within-block scan + exclusive cross-block carry, applied to
+        the rows whose leading segment continues from earlier blocks."""
+        rw, xw = jax.lax.associative_scan(comb, (r2d, x2d), axis=1)
+        r_last, x_last = rw[:, -1], xw[:, -1]
+        rs, xs = jax.lax.associative_scan(comb, (r_last, x_last), axis=0)
+        carry_r = jnp.concatenate([jnp.full(1, -9, rs.dtype), rs[:-1]])
+        carry_x = jnp.concatenate([jnp.zeros(1, xs.dtype), xs[:-1]])
+        hit = r2d == carry_r[:, None]
+        return correct(xw, hit, carry_x[:, None])
+
+    add_correct = lambda xw, hit, cx: xw + jnp.where(hit, cx, 0)
+    rep_correct = lambda xw, hit, cx: jnp.where(hit, cx, xw)
+
     @jax.jit
     def step(f_in):
         f = jnp.asarray(f_in).astype(dtype)
-        l = f[tax] * coef
-        _, cs = jax.lax.associative_scan(comb_sum, (rid, l))
-        ll = jnp.sum(jnp.where(is_last, jnp.log(cs), dtype(0)))
+        l = f[tax2d] * coef2d
+        cs = blocked_scan(rid2d, l, comb_sum, add_correct)
+        ll = jnp.sum(jnp.where(is_last2d, jnp.log(cs), dtype(0)))
         # per-line read total = the read's last prefix value, spread
-        # backwards (reversed segmented copy-first scan)
-        _, tot_r = jax.lax.associative_scan(comb_first, (rid[::-1], cs[::-1]))
-        p = l / tot_r[::-1]
-        f_next = jax.ops.segment_sum(p, tax, num_segments=n_tax)
+        # backwards (reversed segmented copy-first scan, also blocked)
+        def rev(a):
+            return a.reshape(-1)[::-1].reshape(Lb, BS)
+
+        tot = rev(blocked_scan(rev(rid2d), rev(cs), comb_first, rep_correct))
+        p = l / jnp.where(tot == 0, dtype(1), tot)  # padding rows: l = 0
+        f_next = jax.ops.segment_sum(
+            p.reshape(-1), tax2d.reshape(-1), num_segments=n_tax
+        )
         return f_next / f_next.sum(), ll
 
     return step
