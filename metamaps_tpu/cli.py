@@ -60,7 +60,19 @@ def _sketch_params(args) -> Parameters:
     return p
 
 
+def _apply_platform_override():
+    """Honor METAMAPS_TPU_PLATFORM=cpu|tpu|... — needed on images whose
+    site hook re-asserts JAX_PLATFORMS at jax import time (the config
+    update after import wins as long as no backend is initialized yet)."""
+    plat = os.environ.get("METAMAPS_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
+    _apply_platform_override()
     parser = argparse.ArgumentParser(prog="metamaps_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -71,6 +83,13 @@ def main(argv=None):
     p_map = sub.add_parser("mapDirectly", help="map reads (index built on the fly)")
     _add_sketch_args(p_map)
     _add_query_args(p_map)
+    p_map.add_argument(
+        "--mesh", default=None, metavar="shard=S,data=D",
+        help="map spatially over a device mesh: index contig-partitioned "
+        "over S devices, reads data-parallel over D (needs S*D devices); "
+        "outputs are unified per read exactly as in the memory-bounded "
+        "shard loop",
+    )
 
     p_mai = sub.add_parser("mapAgainstIndex", help="map reads against a stored index")
     p_mai.add_argument("--index", "-i", required=True)
@@ -446,15 +465,24 @@ def main(argv=None):
         create_index(params, args.index, params.maximum_memory)
 
     elif args.command == "mapDirectly":
-        from .engine.mapwrap import map_directly
-
         params = _sketch_params(args)
         params.query_sequences = [args.query]
         params.out_file_name = args.output
         params.report_all = bool(args.all)
         params.threads = args.threads
         params.engine = args.mapping_engine
-        map_directly(params, params.maximum_memory)
+        if args.mesh:
+            from .parallel.sharded_engine import (
+                map_directly_sharded,
+                parse_mesh_spec,
+            )
+
+            n_shard, n_data = parse_mesh_spec(args.mesh)
+            map_directly_sharded(params, n_shard, n_data)
+        else:
+            from .engine.mapwrap import map_directly
+
+            map_directly(params, params.maximum_memory)
 
     elif args.command == "mapAgainstIndex":
         from .engine.mapwrap import map_against_index
