@@ -103,10 +103,13 @@ def main(argv=None):
         p_c.add_argument("--threads", "-t", type=int, default=1)
         if name == "classify":
             p_c.add_argument(
-                "--emBackend", choices=["numpy", "jax", "auto"], default=None,
+                "--emBackend",
+                choices=["numpy", "jax", "sharded", "auto"], default=None,
                 help="EM round backend: numpy = host float64 (parity "
-                "default), jax = jitted device rounds, auto = jax for "
-                "very large mapping tables on an accelerator "
+                "default), jax = jitted device rounds, sharded = float64 "
+                "rounds data-parallel over every device with psum'd "
+                "statistics, auto = jax for very large mapping tables on "
+                "an accelerator "
                 "(default: $METAMAPS_TPU_EM_BACKEND or numpy)",
             )
 

@@ -385,40 +385,72 @@ def _resolve_em_backend(table: MappingTable, backend: str) -> str:
     return "jax"
 
 
+class _X64:
+    """Enable jax_enable_x64 for the duration (the sharded EM backend is
+    float64 end to end); restores the previous setting on exit. JAX keys
+    compile caches on the flag, so toggling is safe mid-process."""
+
+    def __enter__(self):
+        import jax
+
+        self._old = jax.config.jax_enable_x64
+        jax.config.update("jax_enable_x64", True)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.config.update("jax_enable_x64", self._old)
+
+
 def run_em(table: MappingTable, verbose: bool = True, backend: str = "numpy"):
     """The EM loop with the reference convergence rule (fEM.h:501-661).
 
     backend 'numpy' runs float64 on host (parity path); 'jax' runs the
-    jitted device rounds with host-side convergence control; 'auto' picks
-    'jax' only for very large tables on an accelerator."""
+    jitted device rounds with host-side convergence control; 'sharded'
+    runs float64 rounds data-parallel over every available device with
+    psum'd sufficient statistics (parallel/mesh.py); 'auto' picks 'jax'
+    only for very large tables on an accelerator."""
+    from contextlib import ExitStack
+
     backend = _resolve_em_backend(table, backend)
     n_tax = len(table.taxon_list)
     f = np.full(n_tax, 1.0 / n_tax, np.float64)
-    step = None
-    if backend == "jax":
-        step = make_em_iterate_jax(table)
-    ll_last = None
-    iteration = 0
-    while True:
-        if step is None:
-            f_next, ll = em_iterate(table, f)
-        else:
-            f_next_d, ll_d = step(f)
-            f_next = np.asarray(f_next_d, np.float64)
-            ll = float(ll_d)
-        if verbose:
-            print(f"EM round {iteration}\n\tLog likelihood: {ll}")
-        if ll_last is not None:
-            ll_diff = ll - ll_last
-            tol = 1e-6 if step is None else 1e-2 * max(1.0, abs(ll))
-            assert ll_diff >= -tol, f"EM log-likelihood decreased by {-ll_diff}"
-            rel_imp = 1 - ll / ll_last
-            if ll_diff <= 1 and rel_imp < 1e-4:
-                f = f_next
-                break
-        f = f_next
-        ll_last = ll
-        iteration += 1
+    with ExitStack() as ctx:
+        step = None
+        f64 = True
+        if backend == "jax":
+            step = make_em_iterate_jax(table)
+            import jax
+
+            f64 = bool(jax.config.jax_enable_x64)
+        elif backend == "sharded":
+            from ..parallel.mesh import make_em_iterate_sharded
+
+            ctx.enter_context(_X64())
+            step = make_em_iterate_sharded(table)
+        ll_last = None
+        iteration = 0
+        while True:
+            if step is None:
+                f_next, ll = em_iterate(table, f)
+            else:
+                f_next_d, ll_d = step(f)
+                f_next = np.asarray(f_next_d, np.float64)
+                ll = float(ll_d)
+            if verbose:
+                print(f"EM round {iteration}\n\tLog likelihood: {ll}")
+            if ll_last is not None:
+                ll_diff = ll - ll_last
+                tol = 1e-6 if f64 else 1e-2 * max(1.0, abs(ll))
+                assert ll_diff >= -tol, f"EM log-likelihood decreased by {-ll_diff}"
+                rel_imp = 1 - ll / ll_last
+                if ll_diff <= 1 and rel_imp < 1e-4:
+                    f = f_next
+                    break
+            f = f_next
+            ll_last = ll
+            iteration += 1
     return f, iteration
 
 

@@ -273,3 +273,71 @@ def test_native_mapping_parser_matches_python(pipeline):
         for line in f_in:
             f_out.write(" ".join(line.rstrip("\n").split(" ")[:12]) + "\n")
     assert parse_mappings_native(raw) is None
+
+
+def test_em_sharded_backend_matches_numpy(pipeline):
+    """The data-parallel float64 EM (psum'd sufficient statistics over the
+    8-device mesh) must track the host numpy EM round-for-round: identical
+    round count and log-likelihood trace (<= f64 summation-order noise),
+    and a final composition equal to ~1e-12."""
+    from metamaps_tpu.engine.em import (
+        _X64,
+        em_iterate,
+        load_mapping_table,
+        load_relevant_taxon_info,
+        run_em,
+    )
+    from metamaps_tpu.parallel.mesh import (
+        make_em_iterate_sharded,
+        partition_lines_read_atomic,
+    )
+
+    root, db, out, reads, species_ids = pipeline
+    ti = load_relevant_taxon_info(db, set())
+    table = load_mapping_table(out, ti)
+
+    # read-atomic partition: no read straddles a device boundary
+    bounds = partition_lines_read_atomic(table.read_of_line, 8)
+    assert bounds[0] == 0 and bounds[-1] == len(table.read_of_line)
+    for b in bounds[1:-1]:
+        if 0 < b < len(table.read_of_line):
+            assert table.read_of_line[b] != table.read_of_line[b - 1]
+
+    f_np, it_np = run_em(table, verbose=False, backend="numpy")
+    f_sh, it_sh = run_em(table, verbose=False, backend="sharded")
+    assert it_np == it_sh
+    np.testing.assert_allclose(f_np, f_sh, rtol=1e-12, atol=1e-15)
+
+    # round-for-round log-likelihood trace
+    with _X64():
+        step = make_em_iterate_sharded(table)
+        f_a = np.full(len(table.taxon_list), 1.0 / len(table.taxon_list))
+        f_b = f_a.copy()
+        for _ in range(4):
+            f_a, ll_a = em_iterate(table, f_a)
+            f_b, ll_b = step(f_b)
+            assert abs(ll_a - ll_b) <= 1e-9 * max(1.0, abs(ll_a))
+
+
+def test_classify_sharded_backend_byte_identical(pipeline, tmp_path):
+    """classify --emBackend sharded must reproduce the numpy backend's
+    .EM.* outputs byte-for-byte on the 8-device mesh."""
+    import shutil
+
+    root, db, out, reads, species_ids = pipeline
+    out2 = str(tmp_path / "out.mappings")
+    for suffix in ("", ".meta", ".meta.unmappedReadsLengths", ".parameters"):
+        shutil.copy(out + suffix, out2 + suffix)
+    rc = cli_main([
+        "classify", "--DB", db, "--mappings", out2,
+        "--emBackend", "sharded",
+    ])
+    assert rc == 0
+    for suffix in (
+        ".EM", ".EM.WIMP", ".EM.reads2Taxon", ".EM.reads2Taxon.krona",
+        ".EM.lengthAndIdentitiesPerMappingUnit", ".EM.contigCoverage",
+        ".EM.evidenceUnknownSpecies",
+    ):
+        assert open(out + suffix).read() == open(out2 + suffix).read(), (
+            f"{suffix} differs between numpy and sharded EM backends"
+        )
