@@ -83,9 +83,107 @@ def get_mapping_locations_u(indirect_upward: Dict[str, List[str]], read_lines: L
 
 
 def compute_u_mapping_qualities(locations: List[ULocation], im: IdentityManager, kmer_size: int):
-    """(fU.h:155-362). Note: the reference's indirect inner normalization
-    makes the per-readIdentity indirect likelihood exactly 1 whenever any
-    shift term qualifies — reproduced faithfully."""
+    """(fU.h:155-362), vectorized over (readIdentity grid x locations x
+    shift bins) — the U pipeline's hot path. Direct locations: ONE
+    binom.pmf call on a [G, Ld] grid. Each indirect location: one call on
+    its [G, B] (identity x qualifying-shift-bin) grid; the reference's
+    inner normalization then makes the per-identity contribution exactly
+    sum/sum = 1 wherever any qualifying term exists — reproduced
+    faithfully (see _compute_u_mapping_qualities_scalar, the line-by-line
+    oracle these results are pinned against)."""
+    import numpy as np
+
+    assert locations
+    max_int_identity = -1
+    for l in locations:
+        l.mapq = 0.0
+        l.p = 0.0
+        if l.direct:
+            ii = math.ceil(l.original_identity * 100)
+            max_int_identity = max(max_int_identity, ii)
+    assert 0 < max_int_identity <= 100
+    max_ri = im.get_maximum_read_identity()
+    assert max_int_identity <= max_ri
+    min_ri_frac = im.get_minimum_read_identity() / 100.0
+
+    ri = np.arange(max_int_identity, max_ri + 1)  # [G]
+    ri_p = np.array([im.get_read_identity_p(int(x)) for x in ri])
+    assert ((ri_p > 0) & (ri_p <= 1)).all()
+    ri_frac = ri / 100.0
+
+    # one flattened [G, T] likelihood grid for the whole read: direct
+    # locations contribute one column each (identity = the grid), indirect
+    # locations one column per nonzero shift bin (identity = grid * shift)
+    # — a SINGLE binom.pmf ufunc call replaces G * (Ld + sum B) scalar ones
+    shift_cache: Dict[Tuple[str, int], Tuple[np.ndarray, np.ndarray]] = {}
+    spans: List[Tuple[ULocation, int, int, np.ndarray]] = []  # (loc, lo, hi, sp)
+    t = 0
+    for l in locations:
+        if l.direct:
+            spans.append((l, t, t + 1, None))
+            t += 1
+        else:
+            key = (l.taxon_id, l.read_length)
+            if key not in shift_cache:
+                hist = im.get_original_u_histogram_one_read_length(
+                    l.taxon_id, l.read_length
+                )
+                sk = np.array([s for s in hist if s != 0], np.float64)
+                sp = np.array([hist[s] for s in hist if s != 0])
+                shift_cache[key] = (sk, sp)
+            sk, sp = shift_cache[key]
+            spans.append((l, t, t + sk.size, sp))
+            t += sk.size
+
+    if t:
+        G = ri_frac.size
+        ident_mat = np.empty((G, t))
+        cols_nk = np.empty(t)
+        cols_union = np.empty(t)
+        cols_inter = np.empty(t)
+        for l, lo, hi, sp in spans:
+            if sp is None:
+                ident_mat[:, lo] = ri_frac
+            elif hi > lo:
+                sk, _ = shift_cache[(l.taxon_id, l.read_length)]
+                ident_mat[:, lo:hi] = ri_frac[:, None] * (sk[None, :] / 100.0)
+            cols_nk[lo:hi] = l.read_length - kmer_size + 1
+            cols_union[lo:hi] = l.minimizer_union
+            cols_inter[lo:hi] = l.minimizer_intersection
+        assert (ident_mat > 0).all()
+        il = stats.likelihood_observed_set_sizes_vec(
+            kmer_size, cols_nk[None, :], ident_mat,
+            cols_union[None, :], cols_inter[None, :],
+        )  # [G, T]
+
+    for l, lo, hi, sp in spans:
+        if sp is None:  # direct
+            l.mapq = float(ri_p @ il[:, lo])
+        elif hi > lo:  # indirect with nonzero shift bins
+            qual = ident_mat[:, lo:hi] > min_ri_frac
+            terms = np.where(qual, sp[None, :] * il[:, lo:hi], 0.0)
+            p_sum = terms.sum(axis=1)
+            any_qual = qual.any(axis=1)
+            # the reference divides by the running p_sum per qualifying
+            # term (assert p_sum > 0, fU.h:155-362) — with the full-sum
+            # denominator the per-identity contribution is exactly 1
+            assert (p_sum[any_qual] > 0).all()
+            l.mapq = float(ri_p @ np.where(any_qual, 1.0, 0.0))
+        else:
+            l.mapq = 0.0
+
+    total = sum(l.mapq for l in locations)
+    assert total > 0
+    for l in locations:
+        l.mapq /= total
+
+
+def _compute_u_mapping_qualities_scalar(locations: List[ULocation], im: IdentityManager, kmer_size: int):
+    """The original line-by-line port of compute_U_mappingQualities
+    (fU.h:155-362) — kept as the parity oracle for the vectorized hot
+    path above. Note: the reference's indirect inner normalization makes
+    the per-readIdentity indirect likelihood exactly 1 whenever any shift
+    term qualifies — reproduced faithfully."""
     assert locations
     max_int_identity = -1
     for l in locations:

@@ -217,3 +217,27 @@ def likelihood_observed_set_sizes(
     e_union = n_kmers + (n_kmers - e_surviving_int)
     e_intersection = e_surviving_int
     return float(spstats.binom.pmf(intersection_size, sketch_size, e_intersection / e_union))
+
+
+def likelihood_observed_set_sizes_vec(
+    k: int, n_kmers, identity, sketch_size, intersection_size
+):
+    """Vectorized :func:`likelihood_observed_set_sizes`: every argument
+    broadcasts (identical arithmetic — same np.round / division and the
+    same underlying binomial pmf kernel, so results are bit-equal to the
+    scalar calls). Calls scipy's raw ``binom._pmf`` directly: the public
+    wrapper's arg masking is only needed for out-of-support inputs, which
+    this model never produces (0 <= intersection <= sketch, 0 < p <= 1),
+    and it costs ~10x the pmf evaluation itself."""
+    identity = np.asarray(identity, np.float64)
+    p_survival = identity ** k
+    e_surviving = np.round(p_survival * np.asarray(n_kmers, np.float64))
+    e_union = n_kmers + (n_kmers - e_surviving)
+    p = e_surviving / e_union
+    out = spstats.binom._pmf(
+        *np.broadcast_arrays(
+            np.asarray(intersection_size, np.float64),
+            np.asarray(sketch_size, np.float64), p,
+        )
+    )
+    return np.asarray(out, np.float64)

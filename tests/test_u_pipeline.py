@@ -142,3 +142,93 @@ def test_u_routing(u_setup):
             n_indirect_ok += got == "100"
     assert n_direct > 0 and n_direct_ok >= int(0.9 * n_direct)
     assert n_with_option > 0 and n_indirect_ok >= int(0.9 * n_with_option)
+
+
+def _synthetic_identity_manager():
+    from metamaps_tpu.engine.u_helper import (
+        IdentityManager,
+        IdentityReadLengthHistogram,
+        TreeAdjustedIdentities,
+    )
+
+    ih = IdentityReadLengthHistogram()
+    ih.minimum_identity = 75
+    ih.maximum_identity = 100
+    raw = {i: 0.5 ** abs(92 - i) for i in range(75, 101)}
+    tot = sum(raw.values())
+    ih.identity_histogram = {i: v / tot for i, v in raw.items()}
+    ih.read_length_histogram = {5000: 1.0}
+
+    tai = TreeAdjustedIdentities()
+    for node in ("77", "78"):
+        for rl in (2000, 5000, 20000):
+            ps = {84: 0.1, 88: 0.25, 92: 0.4, 96: 0.25}
+            tot = sum(ps.values())
+            tai.D.setdefault(node, {})[rl] = {k: v / tot for k, v in ps.items()}
+    return IdentityManager(ih, tai)
+
+
+def test_u_mapq_vectorized_matches_scalar_and_is_fast():
+    """The vectorized compute_u_mapping_qualities must reproduce the
+    scalar per-line oracle (fU.h:155-362) and beat it by a wide margin —
+    it is the U pipeline's hot path over every mapping line."""
+    import copy
+    import time
+
+    from metamaps_tpu.engine.u import (
+        ULocation,
+        _compute_u_mapping_qualities_scalar,
+        compute_u_mapping_qualities,
+    )
+
+    im = _synthetic_identity_manager()
+    rng = np.random.default_rng(7)
+
+    def plausible(ident, sketch):
+        # intersection near the survival model's expectation — far-off
+        # values underflow binom.pmf to exactly 0 and the REFERENCE
+        # aborts on them too (assert p_sum > 0, fU.h:155-362)
+        p_surv = ident ** 16
+        p = p_surv / (2 - p_surv)
+        return int(np.clip(rng.binomial(sketch, p), 1, sketch))
+
+    reads = []
+    for ri in range(40):
+        rl = int(rng.integers(2500, 20000))
+        locs = []
+        n_direct = int(rng.integers(1, 5))
+        for d in range(n_direct):
+            sketch = int(rng.integers(80, 400))
+            ident = float(rng.uniform(0.80, 0.98))
+            locs.append(ULocation(f"r{ri}", str(1000 + d), ident, sketch,
+                                  plausible(ident, sketch), rl, 0.0, 0.0,
+                                  True))
+        for node in ("77", "78")[: int(rng.integers(0, 3))]:
+            sketch = int(rng.integers(80, 400))
+            ident = float(rng.uniform(0.80, 0.98))
+            locs.append(ULocation(f"r{ri}", node, ident, sketch,
+                                  plausible(0.92 * ident, sketch), rl, 0.0,
+                                  0.0, False))
+        reads.append(locs)
+
+    scalar = [copy.deepcopy(l) for l in reads]
+    t0 = time.perf_counter()
+    for locs in scalar:
+        _compute_u_mapping_qualities_scalar(locs, im, 16)
+    t_scalar = time.perf_counter() - t0
+
+    vec = [copy.deepcopy(l) for l in reads]
+    # warm the per-call caches out of the timing (the scalar path reuses
+    # its own cache within each call already)
+    compute_u_mapping_qualities(copy.deepcopy(reads[0]), im, 16)
+    t0 = time.perf_counter()
+    for locs in vec:
+        compute_u_mapping_qualities(locs, im, 16)
+    t_vec = time.perf_counter() - t0
+
+    for ls, lv in zip(scalar, vec):
+        for a, b in zip(ls, lv):
+            assert abs(a.mapq - b.mapq) <= 1e-12 + 1e-9 * abs(a.mapq)
+
+    speedup = t_scalar / max(t_vec, 1e-9)
+    assert speedup > 10, f"vectorized U mapq only {speedup:.1f}x faster"
