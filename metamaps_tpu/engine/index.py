@@ -26,7 +26,7 @@ from typing import Callable, List, Tuple
 import numpy as np
 
 from ..io.fasta import read_sequences
-from ..ops.winnow import winnow_np
+from ..ops.winnow import winnow_fast, winnow_np
 
 INT_MAX = 2**31 - 1
 
@@ -179,16 +179,60 @@ class SketchShard:
         return shard
 
 
+def _iter_winnowed(files, k, w, a, winnow_fn, threads):
+    """Yield (name, seq, (h, p, s) or None-for-too-short) per contig in file
+    order. With threads > 1, winnowing runs on a thread pool with a bounded
+    in-flight window (the native winnower releases the GIL) while the
+    consumer still sees strict file order — the shard-cut semantics stay
+    identical to the serial loop."""
+    def gen():
+        for file_name in files:
+            for name, seq in read_sequences(file_name):
+                yield name, seq
+
+    if threads <= 1:
+        for name, seq in gen():
+            hps = winnow_fn(seq, k, w, a) if len(seq) >= max(w, k) else None
+            yield name, seq, hps
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        pending = deque()
+        it = gen()
+        done = False
+        while True:
+            while not done and len(pending) < 2 * threads:
+                try:
+                    name, seq = next(it)
+                except StopIteration:
+                    done = True
+                    break
+                if len(seq) >= max(w, k):
+                    fut = pool.submit(winnow_fn, seq, k, w, a)
+                else:
+                    fut = None
+                pending.append((name, seq, fut))
+            if not pending:
+                break
+            name, seq, fut = pending.popleft()
+            yield name, seq, fut.result() if fut is not None else None
+
+
 def build_shards(
     params,
     maximum_memory: int,
     on_shard: Callable[[SketchShard, int], None],
-    winnow_fn=winnow_np,
+    winnow_fn=winnow_fast,
 ):
     """Stream the reference FASTA(s), winnow per contig, cut shards by the
     reference memory model, and invoke ``on_shard(shard, shard_number)`` for
     each completed shard (reference build_and_store_index,
-    winSketch.hpp:180-365). Sequence ids are local to each shard."""
+    winSketch.hpp:180-365). Sequence ids are local to each shard.
+    ``params.threads`` > 1 parallelizes the per-contig winnowing (the
+    reference's pthread pool analog for the build phase)."""
     k, w, a = params.kmer_size, params.window_size, params.alphabet_size
 
     shard = SketchShard()
@@ -199,15 +243,17 @@ def build_shards(
     shard_number = 1
     local_seq_counter = 0
 
-    for file_name in params.ref_sequences:
-        for name, seq in read_sequences(file_name):
-            if len(seq) < w or len(seq) < k:
+    threads = int(getattr(params, "threads", 1) or 1)
+    for name, seq, hps in _iter_winnowed(
+        params.ref_sequences, k, w, a, winnow_fn, threads
+    ):
+            if hps is None:
                 shard.contig_names.append(name)
                 shard.contig_lengths.append(len(seq))
                 local_seq_counter += 1
                 continue
 
-            h, p, s = winnow_fn(seq, k, w, a)
+            h, p, s = hps
             contig_hashes = set(map(int, np.unique(h)))
             would_add_hashes = len(contig_hashes - known_hashes)
             would_add_minimizers = len(h)

@@ -161,6 +161,71 @@ def parse_mappings_native(path: str):
     return cols
 
 
+# --- native winnower (native/winnow.cpp) ------------------------------------
+
+_WINNOW_LIB = None
+_WINNOW_TRIED = False
+
+
+def _build_and_load_winnow() -> Optional[ctypes.CDLL]:
+    global _WINNOW_LIB, _WINNOW_TRIED
+    if _WINNOW_TRIED:
+        return _WINNOW_LIB
+    _WINNOW_TRIED = True
+    if os.environ.get("METAMAPS_TPU_NATIVE", "1") == "0":
+        return None
+    src = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "winnow.cpp"
+    )
+    src = os.path.abspath(src)
+    if not os.path.exists(src):
+        return None
+    so = os.path.join(os.path.dirname(src), "libwinnow.so")
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so)
+        lib.winnow.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8),
+        ]
+        lib.winnow.restype = ctypes.c_int64
+        _WINNOW_LIB = lib
+    except Exception:
+        _WINNOW_LIB = None
+    return _WINNOW_LIB
+
+
+def winnow_native(seq: np.ndarray, k: int, w: int, alphabet_size: int = 4):
+    """Native deque winnowing (bit-exact with ops.winnow.winnow_oracle);
+    returns (hash u32, wpos i32, strand i8) or None when the native
+    toolchain is unavailable. Releases the GIL — callers may thread over
+    contigs."""
+    lib = _build_and_load_winnow()
+    if lib is None:
+        return None
+    seq = np.ascontiguousarray(seq, np.uint8)
+    n = len(seq)
+    cap = max(1, n)
+    out_h = np.empty(cap, np.uint32)
+    out_p = np.empty(cap, np.int32)
+    out_s = np.empty(cap, np.int8)
+    count = lib.winnow(
+        seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n), ctypes.c_int(k), ctypes.c_int(w),
+        ctypes.c_int(alphabet_size),
+        out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    return out_h[:count].copy(), out_p[:count].copy(), out_s[:count].copy()
+
+
 def read_sequences_native(path: str) -> Optional[Iterator[Tuple[str, np.ndarray]]]:
     """Parse the whole file natively; returns None when unavailable so the
     caller can fall back to the Python reader."""

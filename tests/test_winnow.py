@@ -74,3 +74,67 @@ def test_protein_alphabet_skips_revcomp():
     np.testing.assert_array_equal(oh, vh)
     np.testing.assert_array_equal(op, vp)
     assert (os_ == 1).all()  # forward always < dummy max
+
+
+def test_native_winnow_matches_oracle():
+    """native/winnow.cpp must be bit-exact with the deque oracle across
+    k/w combinations, lowercase/N bytes, and protein mode."""
+    from metamaps_tpu.io.native import winnow_native
+    from metamaps_tpu.ops.winnow import winnow_fast, winnow_oracle
+
+    if winnow_native(np.frombuffer(b"ACGTACGTACGTACGTACGT", np.uint8), 16, 4) is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGTacgtNn", dtype=np.uint8)
+    for _ in range(25):
+        n = int(rng.integers(20, 4000))
+        seq = rng.choice(bases, size=n)
+        for k, w in ((16, 16), (16, 9), (13, 5), (21, 16)):
+            a = winnow_oracle(seq, k, w)
+            b = winnow_native(seq, k, w)
+            c = winnow_fast(seq, k, w)
+            for x, y, z in zip(a, b, c):
+                np.testing.assert_array_equal(x, y)
+                np.testing.assert_array_equal(x, z)
+    seq = rng.integers(65, 90, 2500).astype(np.uint8)
+    a = winnow_oracle(seq, 16, 16, alphabet_size=20)
+    b = winnow_native(seq, 16, 16, alphabet_size=20)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_build_shards_threaded_identical(tmp_path):
+    """params.threads > 1 must not change shard contents or cut points."""
+    from metamaps_tpu.engine.index import build_shards, reference_memory_model
+    from metamaps_tpu.params import Parameters
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fa = str(tmp_path / "ref.fa")
+    with open(fa, "w") as f:
+        for i in range(9):
+            g = rng.choice(bases, size=int(rng.integers(4000, 30000)))
+            f.write(f">c{i}\n{g.tobytes().decode()}\n")
+
+    def collect(threads, budget):
+        p = Parameters(kmer_size=16, window_size=16, ref_sequences=[fa],
+                       threads=threads)
+        shards = []
+        build_shards(p, budget, lambda s, n: shards.append(s))
+        return shards
+
+    one = collect(1, 0)
+    par = collect(4, 0)
+    assert len(one) == len(par) == 1
+    np.testing.assert_array_equal(one[0].hash_pos_order, par[0].hash_pos_order)
+    assert one[0].contig_names == par[0].contig_names
+
+    budget = reference_memory_model(
+        one[0].n_minimizers // 2, one[0].n_minimizers // 2
+    )
+    a = collect(1, budget)
+    b = collect(4, budget)
+    assert len(a) == len(b) >= 2
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.hash_pos_order, y.hash_pos_order)
+        assert x.contig_names == y.contig_names
