@@ -107,9 +107,18 @@ def build_block_tables(uniq: np.ndarray, uniq_start: np.ndarray,
 
     A bucket [lo, hi) with hi-lo <= 8 spans at most unique indices
     8*(lo//8) .. 8*(lo//8)+15, i.e. row lo//8's 16 entries; successor
-    starts g+1 are at offsets <= 15 of the same row since hi <= lo+8."""
+    starts g+1 are at offsets <= 15 of the same row since hi <= lo+8.
+
+    The same tables serve the 'block16' mode for big indices whose widest
+    directory under the memory cap still has buckets of 9..16 uniques
+    (realistic-scale references, ~10^8 uniques): there a lookup fetches
+    rows lo//8 and lo//8 + 2 — 32 contiguous entries covering any bucket
+    <= 16 (two extra rows are allocated so lo//8 + 2 is always valid). In
+    block16 the count nibble is ignored (clamped at 15): an equal key
+    cannot exist outside the query's own radix bucket, so the upper-bound
+    test is redundant for the match mask and rank count."""
     U = len(uniq)
-    rows_k = U // 8 + 1
+    rows_k = U // 8 + 3
     keys_flat = np.full((rows_k + 1) * 8, U32_MAX, np.uint32)
     keys_flat[:U] = uniq
     starts_flat = np.full((rows_k + 1) * 8, uniq_start[-1], np.uint32)
@@ -119,7 +128,10 @@ def build_block_tables(uniq: np.ndarray, uniq_start: np.ndarray,
     kv32[:, :16] = keys_flat[idx]
     kv32[:, 16:] = starts_flat[idx]
     lo = bucket_start[:-1].astype(np.uint32)
-    cnt = (bucket_start[1:] - bucket_start[:-1]).astype(np.uint32)
+    cnt = np.minimum(
+        (bucket_start[1:] - bucket_start[:-1]).astype(np.uint32),
+        np.uint32(15),
+    )
     dir_packed = lo | (cnt << np.uint32(28))
     return kv32, dir_packed
 
@@ -310,8 +322,13 @@ class DeviceShard:
             np.asarray(shard.hash_sorted, dtype=np.uint32)
         )
         max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
-        block8 = max_bucket <= LOOKUP_KMAX and len(uniq) <= LOOKUP_U_CAP
-        if block8:
+        mode = "bisect"
+        if len(uniq) <= LOOKUP_U_CAP:
+            if max_bucket <= LOOKUP_KMAX:
+                mode = "block8"
+            elif max_bucket <= 2 * LOOKUP_KMAX:
+                mode = "block16"
+        if mode != "bisect":
             kv32, dir_packed = build_block_tables(uniq, uniq_start, bucket_start)
             # the bisect tables are dead in this mode; don't ship them to HBM
             uniq = np.zeros(1, np.uint32)
@@ -356,7 +373,7 @@ class DeviceShard:
             freq_threshold=int(shard.freq_threshold),
             bucket_shift=shift,
             bisect_steps=steps,
-            lookup_mode="block8" if block8 else "bisect",
+            lookup_mode=mode,
         )
 
 
@@ -494,6 +511,39 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
         arow = jnp.sum(
             jnp.where(
                 jnp.arange(16, dtype=jnp.int32) == idx16[..., None], s16, 0
+            ),
+            axis=-1,
+        )
+    elif shard.lookup_mode == "block16":
+        # big-index mode (buckets of 9..16 uniques at the capped directory
+        # width): rows lo//8 and lo//8+2 give 32 contiguous entries
+        # covering any bucket <= 16. No upper-bound test: an equal key
+        # cannot live outside the query's own radix bucket, and entries
+        # past the bucket belong to later buckets (larger top bits), so
+        # they are > q_hash and never perturb the match or the rank count.
+        d = shard.dir_packed[b]
+        lo = (d & jnp.uint32(0x0FFFFFFF)).astype(jnp.int32)
+        r0 = lo >> 3
+        rowA = jnp.take(shard.kv32, r0, axis=0)  # [B, S, 32]
+        rowB = jnp.take(shard.kv32, r0 + 2, axis=0)
+        k32 = jnp.concatenate([rowA[..., :16], rowB[..., :16]], axis=-1)
+        s32 = jnp.concatenate(
+            [rowA[..., 16:], rowB[..., 16:]], axis=-1
+        ).astype(jnp.int32)
+        g = (r0 << 3)[..., None] + jnp.arange(32, dtype=jnp.int32)
+        in_b = g >= lo[..., None]
+        m = (k32 == q_hash[..., None]) & in_b
+        found = m.any(axis=-1)
+        start = jnp.sum(jnp.where(m, s32, 0), axis=-1).astype(jnp.int32)
+        nxt = jnp.concatenate([s32[..., 1:], s32[..., :1]], axis=-1)
+        count = jnp.sum(jnp.where(m, nxt - s32, 0), axis=-1).astype(jnp.int32)
+        cnt_lt = jnp.sum(
+            ((k32 < q_hash[..., None]) & in_b).astype(jnp.int32), axis=-1
+        )
+        idx32 = lo + cnt_lt - (r0 << 3)
+        arow = jnp.sum(
+            jnp.where(
+                jnp.arange(32, dtype=jnp.int32) == idx32[..., None], s32, 0
             ),
             axis=-1,
         )

@@ -120,7 +120,12 @@ def stack_shards(parts: List[SketchShard]):
             max_bucket = max(max_bucket, int(np.max(np.diff(bucket_start))))
         uniq_parts.append((uniq, uniq_start, bucket_start))
     u_max = max(len(u) for u, _, _ in uniq_parts)
-    block8 = max_bucket <= LOOKUP_KMAX and u_max <= LOOKUP_U_CAP
+    mode = "bisect"
+    if u_max <= LOOKUP_U_CAP:
+        if max_bucket <= LOOKUP_KMAX:
+            mode = "block8"
+        elif max_bucket <= 2 * LOOKUP_KMAX:
+            mode = "block16"
     u_hash, u_start, b_start, kv32s, dirps = [], [], [], [], []
     for (uniq, uniq_start, bucket_start), p in zip(uniq_parts, parts):
         uq = pad1(uniq, u_max, np.uint32(0xFFFFFFFF))
@@ -131,7 +136,7 @@ def stack_shards(parts: List[SketchShard]):
         # directory end indices clamp to this shard's unique count
         bs = np.minimum(bucket_start, np.int32(len(uniq)))
         b_start.append(bs)
-        if block8:
+        if mode != "bisect":
             kv32, dirp = build_block_tables(uq, us, bs)
             kv32s.append(kv32)
             dirps.append(dirp)
@@ -180,7 +185,7 @@ def stack_shards(parts: List[SketchShard]):
     out = {k: jnp.asarray(np.stack(v)) for k, v in arrs.items()}
     out["bucket_shift"] = 32 - nb_bits
     out["bisect_steps"] = steps_common
-    out["lookup_mode"] = "block8" if block8 else "bisect"
+    out["lookup_mode"] = mode
     return out
 
 

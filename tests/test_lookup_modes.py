@@ -1,0 +1,171 @@
+"""Lookup-mode parity: block8 / block16 / bisect must agree exactly.
+
+block16 serves realistic-scale indices (~10^8 unique hashes) whose widest
+radix directory under the memory cap still has buckets of 9..16 uniques;
+the tiny-DB tests never exercise it, so this one crafts hash sets that
+force each mode and pins (start, count, total, qkey) across modes and
+against a host oracle.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from metamaps_tpu.engine.index import SketchShard
+from metamaps_tpu.ops.batch_map import (
+    DeviceShard,
+    LOOKUP_KMAX,
+    MapKernelConfig,
+    batch_lookup,
+    build_uniq_tables,
+)
+
+
+def _shard_from_hashes(hashes: np.ndarray) -> SketchShard:
+    sh = SketchShard()
+    n = len(hashes)
+    sh.contig_names = ["c0"]
+    sh.contig_lengths = [16 * n + 100]
+    parts = [(
+        hashes.astype(np.uint32),
+        np.arange(n, dtype=np.int32),
+        np.ones(n, np.int8),
+        0,
+    )]
+    sh.finalize(parts)
+    return sh
+
+
+def _force_mode(ds: DeviceShard, shard: SketchShard, mode: str) -> DeviceShard:
+    uniq, uniq_start, bucket_start, shift, steps = build_uniq_tables(
+        np.asarray(shard.hash_sorted, np.uint32)
+    )
+    return dataclasses.replace(
+        ds,
+        lookup_mode=mode,
+        uniq_hash=jnp.asarray(uniq),
+        uniq_start=jnp.asarray(uniq_start),
+        bucket_start=jnp.asarray(bucket_start),
+        bucket_shift=shift,
+        bisect_steps=steps,
+    )
+
+
+def _oracle_lookup(shard: SketchShard, q: np.ndarray, thr: int):
+    hs = np.asarray(shard.hash_sorted, np.uint32)
+    start = np.searchsorted(hs, q, side="left")
+    end = np.searchsorted(hs, q, side="right")
+    count = (end - start).astype(np.int32)
+    found = count > 0
+    count = np.where(found & (count < thr), count, 0)
+    qkey = np.where(
+        q != np.uint32(0xFFFFFFFF),
+        2 * start.astype(np.int64) + found,
+        np.int64(2**31 - 1),
+    )
+    return np.where(found, start, 0).astype(np.int32), count, qkey
+
+
+@pytest.mark.parametrize("cluster", [0, 12, 16])
+def test_lookup_modes_agree(cluster):
+    rng = np.random.default_rng(cluster + 1)
+    base = rng.integers(0, 2**32, 4000, dtype=np.uint64).astype(np.uint32)
+    # a cluster of uniques differing only in the low 6 bits forces buckets
+    # > 8 at ANY directory width <= 26 bits -> block16 (or bisect if > 16)
+    clus = (np.uint32(0xABCD1234) & np.uint32(0xFFFFFFC0)) + np.arange(
+        cluster, dtype=np.uint32
+    )
+    hashes = np.concatenate([base, clus, clus[: cluster // 2]])  # some dups
+    shard = _shard_from_hashes(hashes)
+    ds = DeviceShard.from_host(shard)
+    expect = "block8" if cluster <= 8 else (
+        "block16" if cluster <= 16 else "bisect"
+    )
+    assert ds.lookup_mode == expect
+
+    cfg = MapKernelConfig.for_read_len(2048, 16, 16, l2_impl="scatter")
+    S = cfg.sketch_max
+    # queries: mix of present hashes (incl. the cluster), absent ones, pads
+    qs = np.full((3, S), np.uint32(0xFFFFFFFF))
+    qs[0, :cluster] = clus[:cluster]
+    qs[0, cluster : cluster + 64] = rng.choice(base, 64)
+    qs[1, :128] = rng.integers(0, 2**32, 128, dtype=np.uint64).astype(np.uint32)
+    qs[2, :32] = np.sort(rng.choice(hashes, 32))
+
+    outs = {}
+    for mode in ("bisect", ds.lookup_mode):
+        d = _force_mode(ds, shard, mode)
+        start, count, total, qkey = batch_lookup(cfg, d, jnp.asarray(qs))
+        outs[mode] = tuple(np.asarray(x) for x in (start, count, total, qkey))
+
+    # the live contract: count/total everywhere, start wherever count > 0
+    # (slots with count 0 are never expanded), qkey for real query slots
+    # (padded slots are masked to I32_MAX by valid_q in all modes)
+    b_start, b_count, b_total, b_qkey = outs["bisect"]
+    g_start, g_count, g_total, g_qkey = outs[ds.lookup_mode]
+    np.testing.assert_array_equal(b_count, g_count)
+    np.testing.assert_array_equal(b_total, g_total)
+    live = b_count > 0
+    np.testing.assert_array_equal(b_start[live], g_start[live])
+    realq = qs != np.uint32(0xFFFFFFFF)
+    np.testing.assert_array_equal(b_qkey[realq], g_qkey[realq])
+
+    o_start, o_count, o_qkey = _oracle_lookup(
+        shard, qs.reshape(-1), shard.freq_threshold
+    )
+    valid = o_count.reshape(3, S) > 0
+    np.testing.assert_array_equal(g_count, o_count.reshape(3, S))
+    np.testing.assert_array_equal(
+        g_start[valid], o_start.reshape(3, S)[valid]
+    )
+    np.testing.assert_array_equal(
+        g_qkey[realq], o_qkey.reshape(3, S)[realq]
+    )
+
+
+def test_block16_full_l1_pipeline():
+    """A mini end-to-end check: mapping results must not change when the
+    index is forced into block16 (the L1 candidates feed from the same
+    (start, count) contract)."""
+    from metamaps_tpu.engine.mapper_oracle import map_read
+    from metamaps_tpu.params import Parameters
+    from metamaps_tpu.ops.batch_map import batch_l1, batch_sketch
+    from metamaps_tpu.engine.mapper_jax import _minhits_table
+
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    g = rng.choice(bases, size=60000)
+    from metamaps_tpu.ops.winnow import winnow_np
+
+    sh = SketchShard()
+    h, p, s = winnow_np(g, 16, 16)
+    sh.contig_names = ["c0|kraken:taxid|7|x"]
+    sh.contig_lengths = [len(g)]
+    sh.finalize([(h, p, s, 0)])
+    ds8 = DeviceShard.from_host(sh)
+    assert ds8.lookup_mode == "block8"
+    ds16 = dataclasses.replace(ds8, lookup_mode="block16")
+
+    cfg = MapKernelConfig.for_read_len(4096, 16, 16, l2_impl="scatter")
+    reads = np.full((4, 4096), ord("A"), np.uint8)
+    lens = np.zeros(4, np.int32)
+    for i in range(4):
+        L = int(rng.integers(2500, 4000))
+        pos = int(rng.integers(0, len(g) - L))
+        r = g[pos : pos + L].copy()
+        idx = rng.integers(0, L, int(0.08 * L))
+        r[idx] = bases[rng.integers(0, 4, len(idx))]
+        reads[i, :L] = r
+        lens[i] = L
+    mh = jnp.asarray(_minhits_table(cfg.sketch_max, 16, 80.0))
+    qh, qst, ss, _ = batch_sketch(cfg, jnp.asarray(reads), jnp.asarray(lens))
+    outs = []
+    for d in (ds8, ds16):
+        outs.append([
+            np.asarray(x)
+            for x in batch_l1(cfg, d, qh, ss, jnp.asarray(lens), mh)
+        ])
+    for a, b in zip(*outs):
+        np.testing.assert_array_equal(a, b)
