@@ -37,9 +37,13 @@ def _add_query_args(p: argparse.ArgumentParser):
     p.add_argument("--query", "-q", required=True, help="reads FASTA/FASTQ (comma-separated list allowed)")
     p.add_argument("--output", "-o", required=True, help="output prefix (comma-separated list allowed)")
     p.add_argument("--all", action="store_true", help="report all mappings, not just the top band")
-    p.add_argument("--threads", "-t", type=int, default=1)
+    p.add_argument("--threads", "-t", type=int, default=1,
+                   help="host-side winnowing threads for the index build")
     p.add_argument("--mapping-engine", choices=["auto", "jax", "oracle"], default="auto",
                    help="batched device kernels (jax) or serial host engine (oracle)")
+    p.add_argument("--profile", action="store_true",
+                   help="per-stage engine timings on stderr (the analog of "
+                   "the reference's ENABLE_TIME_PROFILE_L1_L2 compile flag)")
 
 
 def _sketch_params(args) -> Parameters:
@@ -223,6 +227,9 @@ def main(argv=None):
     p_dl.add_argument("--branches", default=None, help="comma-separated refseq branches")
 
     args = parser.parse_args(argv)
+    if getattr(args, "profile", False):
+        # must land in the environment before the engine module imports
+        os.environ["METAMAPS_TPU_PROFILE"] = "1"
 
     if args.command == "geneLevelAnalysis":
         from .tools.gene_level import gene_level_analysis

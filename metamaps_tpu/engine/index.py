@@ -264,6 +264,7 @@ def build_shards(
 
             if maximum_memory > 0 and memory_after > maximum_memory:
                 shard.finalize(parts)
+                _log_shard(shard, shard_number)
                 on_shard(shard, shard_number)
 
                 shard = SketchShard()
@@ -295,8 +296,23 @@ def build_shards(
             local_seq_counter += 1
 
     shard.finalize(parts)
+    _log_shard(shard, shard_number)
     on_shard(shard, shard_number)
     return shard_number
+
+
+def _log_shard(shard: SketchShard, n: int):
+    """INFO summary per completed shard (the reference's index-build print,
+    winSketch.hpp:362)."""
+    import sys
+
+    print(
+        f"INFO, metamaps_tpu::index, shard {n}: "
+        f"{len(shard.contig_names)} sequences, "
+        f"{shard.n_minimizers} minimizers, "
+        f"freq_threshold={shard.freq_threshold}",
+        file=sys.stderr,
+    )
 
 
 def create_index(params, prefix: str, maximum_memory: int = 0):

@@ -103,10 +103,22 @@ class JaxMapperEngine:
     # fetch round trips against device compute; ~2.5 ms fixed cost per
     # dispatch favors big chunks)
 
-    def __init__(self, shard, params, read_len_buckets: Sequence[int] = (2048, 4096, 8192, 16384, 32768, 65536)):
+    def __init__(self, shard, params, read_len_buckets: Sequence[int] = (2048, 4096, 8192, 16384, 32768, 65536),
+                 device_shard: DeviceShard = None, hits_max: int = None):
+        """``device_shard`` reuses a prebuilt/uploaded index (large-scale
+        benches cache the host tables on disk); ``hits_max`` raises the L1
+        hit capacity beyond the density heuristic — structured references
+        (homologous segments just under the frequency threshold) produce
+        hit totals far above random-sequence expectations, and totals over
+        the cap fall back to the serial oracle."""
         self.shard = shard
         self.params = params
-        self.device_shard = DeviceShard.from_host(shard)
+        self.device_shard = (
+            device_shard if device_shard is not None
+            else DeviceShard.from_host(shard)
+        )
+        self.hits_max_override = hits_max
+        self.stats = {"oracle_fallbacks": 0}
         self.buckets = tuple(sorted(read_len_buckets))
         self._configs: Dict[int, MapKernelConfig] = {}
         # adaptive speculative expansion tier per bucket (phase 1a+1b)
@@ -119,10 +131,13 @@ class JaxMapperEngine:
 
     def _config_for(self, bucket: int) -> MapKernelConfig:
         if bucket not in self._configs:
-            self._configs[bucket] = MapKernelConfig.for_read_len(
+            cfg = MapKernelConfig.for_read_len(
                 bucket, self.params.kmer_size, self.params.window_size,
                 self.params.alphabet_size,
             )
+            if self.hits_max_override and self.hits_max_override > cfg.hits_max:
+                cfg = dataclasses.replace(cfg, hits_max=self.hits_max_override)
+            self._configs[bucket] = cfg
         return self._configs[bucket]
 
     def _bucket_of(self, length: int) -> int:
@@ -649,6 +664,7 @@ class JaxMapperEngine:
         for r, i in enumerate(idxs):
             if need_fb[r]:
                 n_fallback += 1
+                self.stats["oracle_fallbacks"] += 1
                 results[i] = mapper_oracle.map_read(self.shard, self.params, seqs[i])
                 continue
             s = ssize_l[r]

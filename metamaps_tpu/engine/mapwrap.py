@@ -207,6 +207,9 @@ def map_query_file_against_shard(
     """skch::Map equivalent: map every (long-enough) read of one file
     against one shard, writing 12-field lines in read order
     (computeMap.hpp:104-172 + reportReadMappings)."""
+    import sys
+    import time
+
     kind = resolve_engine_kind(engine)
     jax_engine = None
     if kind == "jax":
@@ -214,6 +217,7 @@ def map_query_file_against_shard(
 
         jax_engine = JaxMapperEngine(shard, params)
 
+    t_start = time.perf_counter()
     n_mapped = 0
     n_picked = 0
     n_total = 0
@@ -264,6 +268,14 @@ def map_query_file_against_shard(
                 pending, jax_engine.map_reads([s for _, s in pending])
             ):
                 emit(out, nm, ms)
+    # the reference's mapping wall-clock print (computeMap.hpp:91-96)
+    print(
+        f"INFO, metamaps_tpu::map, time spent mapping {query_file}: "
+        f"{time.perf_counter() - t_start:.2f} s "
+        f"[engine={kind}, reads total={n_total} mappable={n_picked} "
+        f"mapped={n_mapped}]",
+        file=sys.stderr,
+    )
     return n_mapped, n_picked, n_total
 
 

@@ -163,11 +163,22 @@ def parse_mappings_native(path: str):
 
 # --- native winnower (native/winnow.cpp) ------------------------------------
 
+import threading
+
 _WINNOW_LIB = None
 _WINNOW_TRIED = False
+_WINNOW_LOCK = threading.Lock()
 
 
 def _build_and_load_winnow() -> Optional[ctypes.CDLL]:
+    # first touch may come from several winnowing threads at once
+    if _WINNOW_TRIED:
+        return _WINNOW_LIB
+    with _WINNOW_LOCK:
+        return _build_and_load_winnow_locked()
+
+
+def _build_and_load_winnow_locked() -> Optional[ctypes.CDLL]:
     global _WINNOW_LIB, _WINNOW_TRIED
     if _WINNOW_TRIED:
         return _WINNOW_LIB

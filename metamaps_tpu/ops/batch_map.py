@@ -76,9 +76,13 @@ def build_uniq_tables(hash_sorted: np.ndarray, nb_bits: int = None):
         while nb_bits < LOOKUP_NB_CAP and _max_bucket(nb_bits) > LOOKUP_KMAX:
             nb_bits += 1
     shift = 32 - nb_bits
-    bucket_start = np.searchsorted(
-        uniq >> np.uint32(shift), np.arange((1 << nb_bits) + 1, dtype=np.int64)
-    ).astype(np.int32)
+    # bucket_start via bincount+cumsum: O(U + NB), vs 2^nb binary searches
+    counts = np.bincount(
+        (uniq >> np.uint32(shift)).astype(np.int64), minlength=1 << nb_bits
+    )
+    bucket_start = np.empty((1 << nb_bits) + 1, np.int32)
+    bucket_start[0] = 0
+    bucket_start[1:] = np.cumsum(counts)
     max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
     steps = int(np.ceil(np.log2(max_bucket + 1))) + 1 if max_bucket else 1
     if len(uniq) == 0:  # degenerate empty shard
@@ -124,9 +128,11 @@ def build_block_tables(uniq: np.ndarray, uniq_start: np.ndarray,
     starts_flat = np.full((rows_k + 1) * 8, uniq_start[-1], np.uint32)
     starts_flat[: len(uniq_start)] = uniq_start.astype(np.uint32)
     kv32 = np.empty((rows_k, 32), np.uint32)
-    idx = np.arange(rows_k)[:, None] * 8 + np.arange(16)[None, :]
-    kv32[:, :16] = keys_flat[idx]
-    kv32[:, 16:] = starts_flat[idx]
+    # rows are stride-8 width-16 windows — views, no index materialization
+    win_k = np.lib.stride_tricks.sliding_window_view(keys_flat, 16)
+    win_s = np.lib.stride_tricks.sliding_window_view(starts_flat, 16)
+    kv32[:, :16] = win_k[: rows_k * 8 : 8]
+    kv32[:, 16:] = win_s[: rows_k * 8 : 8]
     lo = bucket_start[:-1].astype(np.uint32)
     cnt = np.minimum(
         (bucket_start[1:] - bucket_start[:-1]).astype(np.uint32),
@@ -317,7 +323,10 @@ class DeviceShard:
     lookup_mode: str  # 'block8' | 'bisect'
 
     @classmethod
-    def from_host(cls, shard):
+    def host_tables(cls, shard) -> dict:
+        """All derived host-side tables as numpy arrays + scalar metadata —
+        the expensive part of :meth:`from_host`, separated so large-index
+        builds can disk-cache it (minutes of sorts at 10^8 minimizers)."""
         uniq, uniq_start, bucket_start, shift, steps = build_uniq_tables(
             np.asarray(shard.hash_sorted, dtype=np.uint32)
         )
@@ -353,28 +362,52 @@ class DeviceShard:
             np.asarray(shard.wpos, np.int32), hrow, prev_w, chain_b, next_w,
             np.asarray(shard.strand, np.int32),
         ])
+        return {
+            "hash_sorted": np.asarray(shard.hash_sorted),
+            "pair_byhash": pair,
+            "wpos": np.asarray(shard.wpos),
+            "hash_pos": np.asarray(shard.hash_pos_order),
+            "strand_pos": np.asarray(shard.strand),
+            "prev_w_same": prev_w,
+            "chain_b": chain_b,
+            "next_w_same": next_w,
+            "hrow_pos": hrow,
+            "pos_tab": pos_tab,
+            "contig_offsets": shard.contig_offsets.astype(np.int32),
+            "uniq_hash": uniq,
+            "uniq_start": uniq_start,
+            "bucket_start": bucket_start,
+            "kv32": kv32,
+            "dir_packed": dir_packed,
+            "freq_threshold": np.int64(shard.freq_threshold),
+            "bucket_shift": np.int64(shift),
+            "bisect_steps": np.int64(steps),
+            "lookup_mode": np.array(mode),
+        }
+
+    @classmethod
+    def from_tables(cls, t: dict) -> "DeviceShard":
+        """Upload precomputed :meth:`host_tables` output to device."""
+        arrays = {
+            k: jnp.asarray(t[k])
+            for k in (
+                "hash_sorted", "pair_byhash", "wpos", "hash_pos",
+                "strand_pos", "prev_w_same", "chain_b", "next_w_same",
+                "hrow_pos", "pos_tab", "contig_offsets", "uniq_hash",
+                "uniq_start", "bucket_start", "kv32", "dir_packed",
+            )
+        }
         return cls(
-            hash_sorted=jnp.asarray(shard.hash_sorted),
-            pair_byhash=jnp.asarray(pair),
-            wpos=jnp.asarray(shard.wpos),
-            hash_pos=jnp.asarray(shard.hash_pos_order),
-            strand_pos=jnp.asarray(shard.strand),
-            prev_w_same=jnp.asarray(prev_w),
-            chain_b=jnp.asarray(chain_b),
-            next_w_same=jnp.asarray(next_w),
-            hrow_pos=jnp.asarray(hrow),
-            pos_tab=jnp.asarray(pos_tab),
-            contig_offsets=jnp.asarray(shard.contig_offsets.astype(np.int32)),
-            uniq_hash=jnp.asarray(uniq),
-            uniq_start=jnp.asarray(uniq_start),
-            bucket_start=jnp.asarray(bucket_start),
-            kv32=jnp.asarray(kv32),
-            dir_packed=jnp.asarray(dir_packed),
-            freq_threshold=int(shard.freq_threshold),
-            bucket_shift=shift,
-            bisect_steps=steps,
-            lookup_mode=mode,
+            **arrays,
+            freq_threshold=int(t["freq_threshold"]),
+            bucket_shift=int(t["bucket_shift"]),
+            bisect_steps=int(t["bisect_steps"]),
+            lookup_mode=str(t["lookup_mode"]),
         )
+
+    @classmethod
+    def from_host(cls, shard):
+        return cls.from_tables(cls.host_tables(shard))
 
 
 # ---------------------------------------------------------------------------
