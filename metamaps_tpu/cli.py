@@ -117,6 +117,27 @@ def main(argv=None):
                 "(default: $METAMAPS_TPU_EM_BACKEND or numpy)",
             )
 
+    p_ex = sub.add_parser(
+        "experiments",
+        help="run a full simulation experiment matrix: reads x DB variants "
+        "(full + leave-out) x tools, with a resumable store, aggregate "
+        "accuracy/composition tables and comparison plots",
+    )
+    p_ex.add_argument("--DB", required=True)
+    p_ex.add_argument("--store", required=True, help="experiment store directory")
+    p_ex.add_argument("--name", required=True, help="experiment name")
+    p_ex.add_argument("--nReads", type=int, default=300)
+    p_ex.add_argument("--holdout", default=None,
+                      help="comma-separated taxa removed in a leave-out DB "
+                      "variant, or autoN for N random taxa")
+    p_ex.add_argument("--tools", default="metamaps",
+                      help="comma list of metamaps,kraken2,centrifuge "
+                      "(missing competitors are recorded as skipped)")
+    p_ex.add_argument("--seed", type=int, default=0)
+    p_ex.add_argument("--meanLength", type=int, default=5000)
+    p_ex.add_argument("--accuracy", type=float, default=0.88)
+    p_ex.add_argument("--minReadLen", type=int, default=2000)
+
     p_sim = sub.add_parser("simulate", help="simulate reads / reduced DBs / evaluate an inference run")
     p_sim.add_argument("--action", choices=["reads", "reducedDB", "inference", "evaluate"], required=True)
     p_sim.add_argument("--DB", required=True)
@@ -284,6 +305,33 @@ def main(argv=None):
         branches = args.branches.split(",") if args.branches else None
         plan = make_plan(args.targetDir, branches)
         print(write_manifest(plan, args.targetDir.rstrip("/") + ".manifest"))
+        return 0
+
+    if args.command == "experiments":
+        from .sim.experiments import (
+            ExperimentSpec,
+            pick_holdout_taxa,
+            run_experiment,
+        )
+
+        variants = {"full": []}
+        if args.holdout:
+            if args.holdout.startswith("auto"):
+                n = int(args.holdout[4:] or "2")
+                taxa = pick_holdout_taxa(args.DB, n, args.seed)
+            else:
+                taxa = args.holdout.split(",")
+            variants["holdout"] = taxa
+        spec = ExperimentSpec(
+            name=args.name, db_dir=args.DB, n_reads=args.nReads,
+            seed=args.seed, mean_length=args.meanLength,
+            accuracy=args.accuracy, min_read_len=args.minReadLen,
+            variants=variants, tools=args.tools.split(","),
+        )
+        results = run_experiment(spec, args.store)
+        n_ok = sum(1 for r in results.values() if "skipped" not in r)
+        print(f"experiments: {n_ok}/{len(results)} runs completed; "
+              f"tables under {os.path.join(args.store, args.name, 'tables')}")
         return 0
 
     if args.command == "simulate":

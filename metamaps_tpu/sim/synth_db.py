@@ -46,8 +46,8 @@ def synth_structured_db(
     homolog_pool: int = 40,
     homolog_len: int = 20_000,
     homolog_divergence: Tuple[float, float] = (0.02, 0.06),
-    repeat_families: int = 4,
-    repeat_len: int = 5_000,
+    repeat_families: int = 2,
+    repeat_len: int = None,
     repeat_copies_per_genome: int = 40,
     repeat_divergence: float = 0.01,
     dup_divergence: float = 0.005,
@@ -56,6 +56,13 @@ def synth_structured_db(
     after the base genomes; total length ~= total_bases."""
     base_len = total_bases // (n_base_genomes + n_duplicated)
     pool = [_random_seq(rng, homolog_len) for _ in range(homolog_pool)]
+    if repeat_len is None:
+        # size the repeat families to ~40% of the frequency-threshold
+        # budget (to_ignore ~= uniques * 1e-5, winSketch.hpp:463): their
+        # high-copy minimizers then land inside the culled top-0.001% —
+        # the threshold FIRES (the quantity the uniform-random bench never
+        # exercised) and L1 hit totals stay bounded, as on real references
+        repeat_len = max(200, int(total_bases * 1.9e-6 / repeat_families * 2))
     repeats = [_random_seq(rng, repeat_len) for _ in range(repeat_families)]
 
     genomes: List[np.ndarray] = []
