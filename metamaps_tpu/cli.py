@@ -158,6 +158,21 @@ def main(argv=None):
     p_tr.add_argument("--DB", default=None, help="project truth into this DB's taxonomy (truth within the DB)")
     p_tr.add_argument("--output", required=True)
 
+    p_td = sub.add_parser(
+        "truthDataset",
+        help="dataset-specific truth builders (truthForCAMI/Zymo/HMP): "
+        "per-read truth + per-level distribution from gold-standard "
+        "mappings or alignments",
+    )
+    p_td.add_argument("--dataset", choices=["cami", "zymo", "hmp"], required=True)
+    p_td.add_argument("--output", required=True, help="output prefix")
+    p_td.add_argument("--DB", default=None, help="DB dir (for the taxonomy-projected distribution)")
+    p_td.add_argument("--mapping", default=None, help="CAMI reads_mapping.tsv")
+    p_td.add_argument("--reference", default=None, help="Zymo reference FASTA (tx<taxid>| contigs)")
+    p_td.add_argument("--alignments", default=None, help="SAM alignments (zymo/hmp)")
+    p_td.add_argument("--gi2taxon", default=None, help="gi<TAB>taxonID table (hmp)")
+    p_td.add_argument("--reads", default=None, help="FASTQ of all reads (unaligned reads get taxon 0)")
+
     p_xr = sub.add_parser("extractReads", help="extract reads by ID list or by assigned taxon subtree")
     p_xr.add_argument("--reads", required=True)
     p_xr.add_argument("--ids", default=None, help="file with one read ID per line")
@@ -395,6 +410,28 @@ def main(argv=None):
         write_truth(truth, args.output)
         n_hit = sum(1 for t in truth.values() if t != "0")
         print(f"{len(truth)} reads ({n_hit} resolved) -> {args.output}")
+        return 0
+
+    if args.command == "truthDataset":
+        from .sim.truth import truth_from_cami, truth_from_hmp, truth_from_zymo
+        from .taxonomy import Taxonomy
+
+        tax = Taxonomy(os.path.join(args.DB, "taxonomy")) if args.DB else None
+        all_ids = None
+        if args.reads:
+            from .io.fasta import read_sequences
+
+            all_ids = {name for name, _ in read_sequences(args.reads)}
+        if args.dataset == "cami":
+            out = truth_from_cami(args.mapping, args.output, taxonomy=tax)
+        elif args.dataset == "zymo":
+            out = truth_from_zymo(args.reference, args.alignments,
+                                  args.output, taxonomy=tax,
+                                  all_read_ids=all_ids)
+        else:
+            out = truth_from_hmp(args.alignments, args.gi2taxon, args.output,
+                                 taxonomy=tax, all_read_ids=all_ids)
+        print(f"truth written: {out}")
         return 0
 
     if args.command == "extractReads":

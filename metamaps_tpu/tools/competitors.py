@@ -99,3 +99,297 @@ def centrifuge_reads_to_reads2taxon(centrifuge_reads: str, output_fn: str,
             else:
                 out.write(f"{read_id}\t{taxon}\n")
     return output_fn
+
+
+# --- competitor DB builds (callKraken*OnConvertedDB.pl analogs) --------------
+
+
+def build_kraken2_db(metamaps_db: str, out_dir: str,
+                     kmer_len: int = 35, threads: int = 4):
+    """Convert a MetaMaps DB and drive kraken2-build
+    (convertMetaMapsToKraken.pl + callKraken2OnConvertedDB.pl:1-46 +
+    SimulationsKraken.pm doKraken2)."""
+    from .convert import to_kraken
+
+    build = _require("kraken2-build")
+    os.makedirs(out_dir, exist_ok=True)
+    conv = os.path.join(out_dir, "_converted")
+    to_kraken(metamaps_db, conv)
+    tax_dir = os.path.join(out_dir, "taxonomy")
+    os.makedirs(tax_dir, exist_ok=True)
+    for dmp in ("names.dmp", "nodes.dmp", "merged.dmp"):
+        src = os.path.join(metamaps_db, "taxonomy", dmp)
+        if os.path.exists(src):
+            shutil.copy(src, tax_dir)
+    subprocess.run(
+        [build, "--db", out_dir, "--add-to-library",
+         os.path.join(conv, "DB.fa")], check=True,
+    )
+    subprocess.run(
+        [build, "--db", out_dir, "--build", "--kmer-len", str(kmer_len),
+         "--threads", str(threads)], check=True,
+    )
+    return out_dir
+
+
+def build_centrifuge_index(metamaps_db: str, out_dir: str, threads: int = 4):
+    """Convert a MetaMaps DB and drive centrifuge-build
+    (convertMetaMapsToCentrifuge.pl + callCentrifugeOnConvertedDB.pl;
+    SimulationsKraken.pm:128)."""
+    from .convert import to_centrifuge
+
+    build = _require("centrifuge-build")
+    os.makedirs(out_dir, exist_ok=True)
+    conv = os.path.join(out_dir, "_converted")
+    to_centrifuge(metamaps_db, conv)
+    prefix = os.path.join(out_dir, "DB")
+    subprocess.run(
+        [build, "-p", str(threads),
+         "--conversion-table", os.path.join(conv, "conversion.tsv"),
+         "--taxonomy-tree", os.path.join(metamaps_db, "taxonomy", "nodes.dmp"),
+         "--name-table", os.path.join(metamaps_db, "taxonomy", "names.dmp"),
+         os.path.join(conv, "DB.fa"), prefix], check=True,
+    )
+    return prefix
+
+
+# --- kraken2 with report + Bracken (SimulationsKraken.pm:220-335) ------------
+
+
+def run_kraken2_with_report(db_dir: str, reads: str, out_prefix: str):
+    """kraken2 producing both the per-read file and the report (the report
+    feeds Bracken)."""
+    bin_path = _require("kraken2")
+    out_reads = out_prefix + ".kraken.reads"
+    out_report = out_prefix + ".kraken.report"
+    subprocess.run(
+        [bin_path, "--db", db_dir, "--output", out_reads,
+         "--report", out_report, reads], check=True,
+    )
+    return out_reads, out_report
+
+
+def run_bracken(kraken_db: str, report: str, out_prefix: str,
+                levels=("S", "G", "F"), read_len: int = 75):
+    """bracken per level (SimulationsKraken.pm:307 est_abundance); returns
+    {level: output file}."""
+    bin_path = _require("bracken")
+    out = {}
+    for lv in levels:
+        fn = f"{out_prefix}.bracken_{lv}"
+        subprocess.run(
+            [bin_path, "-d", kraken_db, "-i", report, "-l", lv,
+             "-r", str(read_len), "-o", fn], check=True,
+        )
+        out[lv] = fn
+    return out
+
+
+def parse_kraken_report_totals(report_fn: str):
+    """(n_unclassified, n_root) from a kraken report
+    (SimulationsKraken.pm:678-700: the 'unclassified' and 'root' rows)."""
+    n_unclassified = None
+    n_root = None
+    with open(report_fn) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            fields = line.split("\t")
+            name = fields[5].strip()
+            if name == "unclassified":
+                assert n_unclassified is None
+                n_unclassified = int(fields[1])
+            elif name == "root":
+                assert n_root is None
+                n_root = int(fields[1])
+    if n_unclassified is None:
+        n_unclassified = 0
+    assert n_root is not None, f"no root row in {report_fn}"
+    return n_unclassified, n_root
+
+
+def kraken_to_composition(report_fn: str, reads_fn: str, taxonomy,
+                          mappable, output_fn: str):
+    """Per-level composition table from kraken per-read output
+    (create_compatible_file_from_kraken, SimulationsKraken.pm:664-810):
+    classified reads are lifted per evaluation level, frequencies over ALL
+    reads; writes <out> and <out>.ignoreUnclassified (frequencies over
+    classified reads only). Format: AnalysisLevel ID Name Absolute
+    PotFrequency."""
+    from ..sim.validation import EVALUATION_LEVELS, lightning
+
+    n_unclassified, n_root = parse_kraken_report_totals(report_fn)
+    n_total = n_unclassified + n_root
+    assert n_total > 0
+
+    reads_at: dict = {}
+    n_uncl_check = 0
+    cache = {}
+    with open(reads_fn) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            fields = line.split("\t")
+            classified, _, taxon = fields[0], fields[1], fields[2]
+            assert classified in ("C", "U")
+            if classified == "U":
+                n_uncl_check += 1
+                continue
+            if taxon not in cache:
+                cache[taxon] = (
+                    lightning(taxonomy, taxon, mappable)
+                    if taxonomy.know_node(taxon)
+                    else {lv: "Unclassified" for lv in
+                          ["absolute"] + list(EVALUATION_LEVELS)}
+                )
+            lt = cache[taxon]
+            reads_at.setdefault("definedAndHypotheticalGenomes", {})
+            reads_at["definedAndHypotheticalGenomes"][taxon] = (
+                reads_at["definedAndHypotheticalGenomes"].get(taxon, 0) + 1
+            )
+            for rank in EVALUATION_LEVELS:
+                reads_at.setdefault(rank, {})
+                reads_at[rank][lt[rank]] = reads_at[rank].get(lt[rank], 0) + 1
+    assert n_uncl_check == n_unclassified, (
+        f"unclassified mismatch: {n_uncl_check} vs report {n_unclassified}"
+    )
+
+    def name_of(t):
+        return (taxonomy.get_node(t).scientific_name
+                if taxonomy.know_node(t) else t)
+
+    with open(output_fn, "w") as out, open(
+        output_fn + ".ignoreUnclassified", "w"
+    ) as out2:
+        hdr = "AnalysisLevel\tID\tName\tAbsolute\tPotFrequency\n"
+        out.write(hdr)
+        out2.write(hdr)
+        for level in sorted(reads_at):
+            level_total = sum(reads_at[level].values())
+            for t in sorted(reads_at[level]):
+                n = reads_at[level][t]
+                out.write(f"{level}\t{t}\t{name_of(t)}\t{n}\t{n / n_total}\n")
+                out2.write(f"{level}\t{t}\t{name_of(t)}\t{n}\t{n / n_root}\n")
+            n_uncl_level = n_total - level_total
+            out.write(f"{level}\tUnclassified\tUnclassified\t"
+                      f"{n_uncl_level}\t{n_uncl_level / n_total}\n")
+            n_uncl_level2 = n_root - level_total
+            out2.write(f"{level}\tUnclassified\tUnclassified\t"
+                       f"{n_uncl_level2}\t{n_uncl_level2 / n_root}\n")
+    return output_fn
+
+
+def bracken_to_composition(report_fn: str, bracken_files, taxonomy,
+                           output_fn: str):
+    """Bracken per-level abundances -> composition table
+    (create_compatible_file_from_kraken_bracken,
+    SimulationsKraken.pm:1421-1580). bracken_files: {rank_name: file} with
+    rank_name in ('species', 'genus', 'family'); writes <out> and
+    <out>.ignoreUnclassified."""
+    n_unclassified, n_root = parse_kraken_report_totals(report_fn)
+    n_total = n_unclassified + n_root
+
+    def read_s(fn, rank, ignore_unclassified):
+        s = {}
+        n_classified = 0
+        with open(fn) as f:
+            header = f.readline().rstrip("\n").split("\t")
+            assert header[1] == "taxonomy_id"
+            assert header[5] == "new_est_reads"
+            assert header[6] == "fraction_total_reads"
+            for line in f:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                fields = line.split("\t")
+                taxon, n_reads = fields[1], int(fields[5])
+                assert taxonomy.know_node(taxon), taxon
+                assert taxonomy.get_node(taxon).rank == rank, taxon
+                denom = n_root if ignore_unclassified else n_total
+                a = s.setdefault(taxon, [0, 0.0])
+                a[0] += n_reads
+                a[1] += n_reads / denom
+                n_classified += n_reads
+        denom = n_root if ignore_unclassified else n_total
+        n_uncl = denom - n_classified
+        s["Unclassified"] = [n_uncl, n_uncl / denom]
+        return s
+
+    with open(output_fn, "w") as out, open(
+        output_fn + ".ignoreUnclassified", "w"
+    ) as out2:
+        hdr = "AnalysisLevel\tID\tName\tAbsolute\tPotFrequency\n"
+        out.write(hdr)
+        out2.write(hdr)
+        for rank, fn in sorted(bracken_files.items()):
+            for dest, ignore in ((out, False), (out2, True)):
+                s = read_s(fn, rank, ignore)
+                for t in sorted(s):
+                    name = (taxonomy.get_node(t).scientific_name
+                            if t != "Unclassified" and taxonomy.know_node(t)
+                            else t)
+                    dest.write(
+                        f"{rank}\t{t}\t{name}\t{s[t][0]}\t{s[t][1]}\n"
+                    )
+    return output_fn
+
+
+# --- MEGAN (doMegan, SimulationsKraken.pm:372-436,529-597) -------------------
+
+
+def run_megan(reads_fasta: str, protein_db_dmnd: str, out_prefix: str,
+              megan_dir: str = None, threads: int = 4):
+    """diamond blastx -> daa2rma -> rma2info read->taxon assignments. All
+    three binaries must be installed (the reference stages the same
+    pipeline against the DB's protein FASTA)."""
+    diamond = _require("diamond")
+    daa2rma = _require(os.path.join(megan_dir, "daa2rma") if megan_dir
+                       else "daa2rma")
+    rma2info = _require(os.path.join(megan_dir, "rma2info") if megan_dir
+                        else "rma2info")
+    daa = out_prefix + ".daa"
+    subprocess.run(
+        [diamond, "blastx", "-d", protein_db_dmnd, "-q", reads_fasta,
+         "-a", daa, "-p", str(threads)], check=True,
+    )
+    rma = out_prefix + ".rma"
+    subprocess.run([daa2rma, "--in", daa, "--out", rma], check=True)
+    out = out_prefix + ".megan.reads"
+    with open(out, "w") as f:
+        subprocess.run(
+            [rma2info, "--in", rma, "-r2c", "Taxonomy"], check=True, stdout=f
+        )
+    return out
+
+
+def megan_reads_to_reads2taxon(megan_reads: str, output_fn: str,
+                               all_read_ids=None):
+    """MEGAN rma2info read->taxon pairs -> reads2Taxon
+    (create_compatible_reads_file_from_megan,
+    SimulationsKraken.pm:1246-1297): taxon -2 and reads missing from the
+    output map to 0 (+ .unclassified sidecar)."""
+    seen = set()
+    with open(megan_reads) as f, open(output_fn, "w") as out, open(
+        output_fn + ".unclassified", "w"
+    ) as out_u:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            fields = line.split("\t")
+            assert len(fields) == 2, f"weird MEGAN line: {line!r}"
+            read_id, taxon = fields
+            assert taxon == "-2" or int(taxon) > 0
+            seen.add(read_id)
+            if taxon != "-2":
+                out.write(f"{read_id}\t{taxon}\n")
+            else:
+                out.write(f"{read_id}\t0\n")
+                out_u.write(f"{read_id}\tUnclassified\n")
+        for read_id in sorted(all_read_ids or []):
+            if read_id not in seen:
+                out.write(f"{read_id}\t0\n")
+                out_u.write(f"{read_id}\tUnclassified\n")
+    return output_fn
