@@ -128,6 +128,7 @@ class JaxMapperEngine:
         # host-routed path and seeds the plan from observed tier rates.
         self._route_plan: Dict[int, Tuple[tuple, tuple]] = {}
         self._route_rates: Dict[int, Dict[Tuple[int, int], float]] = {}
+        self._slack_chunks: Dict[int, int] = {}
 
     def _config_for(self, bucket: int) -> MapKernelConfig:
         if bucket not in self._configs:
@@ -485,18 +486,39 @@ class JaxMapperEngine:
                 rr = next(x for x in r_buckets if x >= no)
                 need[(rr, sc)] = need.get((rr, sc), 0) + 1
         old = self._route_rates.get(bucket, {})
-        rates = dict(old)
-        for key, n in need.items():
-            rates[key] = max(rates.get(key, 0.0), n / max(n_chunk, 1))
+        rates = {}
+        for key in set(old) | set(need):
+            obs = need.get(key, 0) / max(n_chunk, 1)
+            # ratchet up instantly, decay slowly (~2% per chunk): a
+            # drifting read-length/candidate mix releases capacity instead
+            # of accumulating dead slabs forever (grow-only plans leak in
+            # long-lived services)
+            rates[key] = max(obs, old.get(key, 0.0) * 0.98)
+        # drop fully-decayed zones
+        rates = {k: v for k, v in rates.items() if v * self.CHUNK >= 0.5}
         self._route_rates[bucket] = rates
-        # a plan rebuild shifts slab zone boundaries and can demand new
-        # compiled slab shapes (expensive) — keep the existing plan unless
-        # it actually overflowed on a meaningful fraction of the chunk's
-        # candidates
         if bucket in self._route_plan:
             n_cands = sum(need.values())
-            if n_overflow <= max(8, 0.1 * max(n_cands, 1)):
-                return
+            overflowed = n_overflow > max(8, 0.1 * max(n_cands, 1))
+            # shrink only after sustained slack: planned capacity > 1.6x
+            # the decayed need for 8 consecutive chunks (a rebuild costs a
+            # router recompile)
+            planned = sum(k for _, _, k in self._route_plan[bucket])
+            needed = sum(
+                int(np.ceil(r * self.CHUNK * 1.15)) for r in rates.values()
+            )
+            if not overflowed:
+                if planned > 1.6 * max(needed, 1):
+                    self._slack_chunks[bucket] = (
+                        self._slack_chunks.get(bucket, 0) + 1
+                    )
+                else:
+                    self._slack_chunks[bucket] = 0
+                if self._slack_chunks.get(bucket, 0) < 8:
+                    return
+                self._slack_chunks[bucket] = 0
+            else:
+                self._slack_chunks[bucket] = 0
         # planned zone sizes in descending (rr, sc) order, 15% headroom
         zones = sorted(rates, reverse=True)
         counts = [int(np.ceil(rates[z] * self.CHUNK * 1.15)) for z in zones]

@@ -154,3 +154,55 @@ def test_router_padding_rows_and_small_chunk(cfg):
     )
     assert set(c for c in coords if c >= 0) == {0, C}
     assert ovf == []
+
+
+def test_route_plan_shrinks_on_drift():
+    """A drifting candidate mix must release slab capacity: after the
+    big-range reads disappear, sustained slack (8 chunks) rebuilds the
+    plan without the dead tiers (VERDICT r1 item 10 — grow-only plans
+    leak in long-lived services)."""
+    import numpy as np
+
+    from metamaps_tpu.engine.index import SketchShard
+    from metamaps_tpu.engine.mapper_jax import JaxMapperEngine
+    from metamaps_tpu.ops.winnow import winnow_np
+    from metamaps_tpu.params import Parameters
+
+    rng = np.random.default_rng(1)
+    g = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=30000)
+    sh = SketchShard()
+    h, p, s = winnow_np(g, 16, 16)
+    sh.contig_names, sh.contig_lengths = ["c"], [len(g)]
+    sh.finalize([(h, p, s, 0)])
+    params = Parameters(kmer_size=16, window_size=16,
+                        percentage_identity=80.0)
+    eng = JaxMapperEngine(sh, params, read_len_buckets=(2048,))
+    cfg = eng._config_for(2048)
+    bucket = 2048
+    B = eng.CHUNK
+    C = cfg.cands_max
+
+    def host(n_occ_val, cands_per_read):
+        s_size = np.full(B, 256, np.int32)
+        s_ovf = np.zeros(B, bool)
+        c_seq = np.full((B, C), -1, np.int32)
+        n_c = np.full(B, cands_per_read, np.int32)
+        c_seq[:, :cands_per_read] = 0
+        n_occ = np.zeros((B, C), np.int32)
+        n_occ[:, :cands_per_read] = n_occ_val
+        zeros = np.zeros((B, C), np.int32)
+        return (s_size, s_ovf, c_seq, zeros, zeros, n_c,
+                np.zeros(B, bool), n_occ)
+
+    big = min(cfg.range_max, 2000)
+    eng._adapt_route_plan(cfg, bucket, host(big, 4), B)
+    plan_big = eng._route_plan[bucket]
+    cap_big = sum(k for _, _, k in plan_big)
+    assert any(rr >= big for rr, _, _ in plan_big)
+
+    # drift: only small candidates from now on
+    for _ in range(100):
+        eng._adapt_route_plan(cfg, bucket, host(400, 1), B)
+    plan_small = eng._route_plan[bucket]
+    cap_small = sum(k for _, _, k in plan_small)
+    assert cap_small < cap_big, (plan_big, plan_small)
