@@ -30,9 +30,15 @@ hold, and is asserted here:
 - .EM.reads2Taxon.krona: identical read -> taxon after getFirstNonXNode
   collapse (i.e. 73/73 at organism level), mapQ within 0.15;
 - .EM.WIMP at species and higher ranks: identical row sets, identical
-  Absolute read counts, frequencies within 25% relative (the EM stopping
-  round is sensitive to the location denominators);
-- recalibrated .EM: fields 1-13 byte-identical.
+  Absolute read counts, frequencies within 12% relative (measured worst
+  deviation 9.34%, driven entirely by the location denominators — see
+  test_wimp_species_and_up);
+- recalibrated .EM: fields 1-13 byte-identical;
+- every EM backend's log-likelihood trace matches the host float64 EM
+  round-for-round on this table (stopping-round drift bounded at source);
+- with a real miniSeq+H DB present ($METAMAPS_MINISEQ_DB), reads2Taxon
+  and WIMP must be bit-identical (the BASELINE.json target, executable
+  the day a real DB exists).
 """
 import os
 import zipfile
@@ -330,8 +336,15 @@ def test_wimp_species_and_up(fixture_run):
         assert name_o == name_r, key
         assert abs_o == abs_r, (key, abs_o, abs_r)
         # frequencies drift with the EM stopping point (see module docstring)
-        assert emf_o == pytest.approx(emf_r, rel=0.25, abs=5e-3), key
-        assert potf_o == pytest.approx(potf_r, rel=0.25, abs=5e-3), key
+        # measured bound: the reconstructed DB's underestimated
+        # possibleMappingLocations denominators (~880 never-read taxa whose
+        # full contig sets are unobservable from the fixture) perturb the
+        # EM mass by at most 9.4% relative (worst: taxon 210 at 9.34%);
+        # 12% = that bound + stopping-round margin. Going below requires
+        # the real miniSeq+H taxonInfo — see
+        # test_real_db_bit_parity_when_available.
+        assert emf_o == pytest.approx(emf_r, rel=0.12, abs=5e-3), key
+        assert potf_o == pytest.approx(potf_r, rel=0.12, abs=5e-3), key
 
 
 def test_wimp_genomes_collapsed_counts(fixture_run):
@@ -356,3 +369,86 @@ def test_recalibrated_mapping_fields(fixture_run):
     assert len(our_lines) == len(ref_lines)
     for a, b in zip(our_lines, ref_lines):
         assert a.split(" ")[:13] == b.split(" ")[:13]
+
+
+def test_em_backend_ll_traces_round_for_round(fixture_run):
+    """On the REAL fixture mapping table, every EM backend must reproduce
+    the host float64 log-likelihood trace round-for-round (VERDICT r1
+    item 7: bound the stopping-point drift at its source — backends can
+    only diverge through summation order, and that divergence must stay
+    at f64 noise, not compound into a different stopping round)."""
+    from metamaps_tpu.engine.em import (
+        _X64,
+        em_iterate,
+        load_mapping_table,
+        load_relevant_taxon_info,
+        make_em_iterate_jax,
+    )
+    from metamaps_tpu.parallel.mesh import make_em_iterate_sharded
+
+    db = os.path.join(os.path.dirname(fixture_run), "db")
+    ti = load_relevant_taxon_info(db, set())
+    table = load_mapping_table(fixture_run, ti)
+
+    n_tax = len(table.taxon_list)
+    f_np = np.full(n_tax, 1.0 / n_tax)
+    f_sh = f_np.copy()
+    with _X64():
+        step_sh = make_em_iterate_sharded(table)
+        for rnd in range(12):
+            f_np, ll_np = em_iterate(table, f_np)
+            f_sh, ll_sh = step_sh(f_sh)
+            assert abs(ll_np - ll_sh) <= 1e-9 * max(1.0, abs(ll_np)), rnd
+    # the float32 device backend tracks within f32 noise of the trace
+    step_jx = make_em_iterate_jax(table)
+    f_jx = np.full(n_tax, 1.0 / n_tax)
+    f_np2 = f_jx.copy()
+    for rnd in range(12):
+        f_np2, ll_np = em_iterate(table, f_np2)
+        f_jx_d, ll_jx = step_jx(f_jx)
+        f_jx = np.asarray(f_jx_d, np.float64)
+        assert abs(ll_np - float(ll_jx)) <= 2e-4 * max(1.0, abs(ll_np)), rnd
+
+
+REAL_DB_ENV = "METAMAPS_MINISEQ_DB"
+
+
+@pytest.mark.skipif(
+    not os.environ.get(REAL_DB_ENV),
+    reason=f"set {REAL_DB_ENV}=<path to real miniSeq+H DB dir> to run the "
+    "bit-parity target (BASELINE.json)",
+)
+def test_real_db_bit_parity_when_available(tmp_path):
+    """With the REAL miniSeq+H database present, classify on the fixture's
+    reconstructed mappings must reproduce .EM.reads2Taxon and the
+    .EM.WIMP Absolute/EMFrequency columns bit-for-bit — the executable
+    form of the BASELINE.json parity target."""
+    db = os.environ[REAL_DB_ENV]
+    em_lines = _fixture_text(".EM").splitlines()
+    params = Parameters(kmer_size=16, window_size=16, min_read_length=2000,
+                        percentage_identity=80.0)
+    mapped = tmp_path / "hmp7.mapped"
+    with open(mapped, "w") as out:
+        group, gid = [], None
+        for line in em_lines + [None]:
+            rid = line.split(" ", 1)[0] if line else None
+            if rid != gid and group:
+                stripped = [" ".join(l.split(" ")[:12]) for l in group]
+                for l2 in add_mapping_qualities(params, stripped):
+                    out.write(l2 + "\n")
+                group = []
+            if line:
+                group.append(line)
+                gid = rid
+    for name in (".meta", ".meta.unmappedReadsLengths", ".parameters"):
+        (tmp_path / ("hmp7.mapped" + name)).write_text(_fixture_text(name))
+
+    params.db = db
+    em_mod.do_em(params, str(mapped))
+
+    assert open(str(mapped) + ".EM.reads2Taxon").read() == _fixture_text(
+        ".EM.reads2Taxon"
+    )
+    ours = open(str(mapped) + ".EM.WIMP").read().splitlines()
+    ref = _fixture_text(".EM.WIMP").splitlines()
+    assert ours == ref
