@@ -131,9 +131,16 @@ class SketchShard:
     def search_index(self, seq_id: int, winpos: int) -> int:
         """lower_bound over (seqId, wpos) in position order
         (winSketch.hpp:506-517). Returns an index into the position-ordered
-        arrays (may be outside the contig's own range, as in the reference)."""
+        arrays (may be outside the contig's own range, as in the reference).
+        The packed key array is built once per shard — at 10^8 minimizers a
+        per-call rebuild made every oracle fallback O(M)."""
+        keys = getattr(self, "_pos_keys", None)
+        if keys is None or keys.size != self.seqid.size:
+            keys = (self.seqid.astype(np.int64) << 32) | self.wpos.astype(
+                np.int64
+            )
+            self._pos_keys = keys
         key = np.int64(seq_id) << 32 | np.int64(max(0, winpos))
-        keys = (self.seqid.astype(np.int64) << 32) | self.wpos.astype(np.int64)
         return int(np.searchsorted(keys, key, side="left"))
 
     @property

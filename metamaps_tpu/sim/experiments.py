@@ -316,3 +316,46 @@ def plot_comparison(results: Dict, out_pdf: str, title: str = ""):
     fig.tight_layout()
     fig.savefig(out_pdf)
     plt.close(fig)
+
+
+def aggregate_store(store_root: str, out_dir: Optional[str] = None) -> Dict:
+    """Cross-experiment aggregation (validation.pm
+    analyseAndAddOneExperiment :1063 + produceValidationOutputFiles :1869):
+    collects every <store>/<experiment>/results.json, emits combined
+    per-(experiment, run) tables and a summary matrix of ALL-category
+    species accuracy and species-level composition L1."""
+    out_dir = out_dir or os.path.join(store_root, "_aggregate")
+    os.makedirs(out_dir, exist_ok=True)
+    combined: Dict[str, Dict] = {}
+    for name in sorted(os.listdir(store_root)):
+        fn = os.path.join(store_root, name, "results.json")
+        if not os.path.isfile(fn):
+            continue
+        res = json.load(open(fn))
+        for run, m in res.items():
+            combined[f"{name}/{run}"] = m
+    write_tables(combined, out_dir)
+
+    with open(os.path.join(out_dir, "summary.tsv"), "w") as f:
+        f.write("experiment\trun\tspeciesAccuracy_ALL\tspeciesL1\t"
+                "novelAccuracy_genus\n")
+        for key in sorted(combined):
+            m = combined[key]
+            exp, _, run = key.partition("/")
+            if "skipped" in m:
+                f.write(f"{exp}\t{run}\tskipped\tskipped\tskipped\n")
+                continue
+            sp = m["reads"].get("ALL", {}).get("species", {})
+            acc = sp["correct"] / sp["N"] if sp.get("N") else float("nan")
+            l1 = m["distribution"].get("species", {}).get("L1", float("nan"))
+            novel = float("nan")
+            for cat, lv in m["reads"].items():
+                if cat == "novel" and lv.get("genus", {}).get("N"):
+                    novel = lv["genus"]["correct"] / lv["genus"]["N"]
+            f.write(f"{exp}\t{run}\t{acc:.4f}\t{l1:.4f}\t{novel:.4f}\n")
+    try:
+        plot_comparison(combined, os.path.join(out_dir, "comparison.pdf"),
+                        title="all experiments")
+    except Exception:
+        pass
+    return combined

@@ -101,3 +101,16 @@ def test_resumable(store, capsys):
     assert rc == 0
     assert open(os.path.join(st, "exp1", "results.json")).read() == before
     assert dt < 30, f"resume took {dt:.1f}s — flags not honored?"
+
+
+def test_aggregate_store(store):
+    from metamaps_tpu.sim.experiments import aggregate_store
+
+    root, db, st = store
+    combined = aggregate_store(st)
+    assert "exp1/full__metamaps" in combined
+    agg = os.path.join(st, "_aggregate")
+    summary = open(os.path.join(agg, "summary.tsv")).read().splitlines()
+    assert summary[0].startswith("experiment\trun")
+    assert any(l.startswith("exp1\tfull__metamaps\t") for l in summary)
+    assert os.path.getsize(os.path.join(agg, "reads_accuracy.tsv")) > 0
