@@ -153,9 +153,8 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True):
         tab_fn, **tables,
         contig_names=np.array(shard.contig_names, dtype=object),
         contig_lengths=np.array(shard.contig_lengths, np.int64),
-        allow_pickle=True,
     )
-    np.savez(reads_fn, reads=np.array(reads, dtype=object), allow_pickle=True)
+    np.savez(reads_fn, reads=np.array(reads, dtype=object))
     info["cache_save_s"] = round(time.perf_counter() - t0, 1)
     info["cache"] = "miss"
     if verbose:

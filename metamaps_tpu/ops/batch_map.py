@@ -51,36 +51,112 @@ I32_MIN = np.int32(-(2**31))
 MINHITS_SHIFT_MAX = 32
 
 
-def build_uniq_tables(hash_sorted: np.ndarray, nb_bits: int = None):
+def remix_keys_np(h: np.ndarray, e: int) -> np.ndarray:
+    """Monotone equalizing bucket key for minimizer-skewed hashes.
+
+    Winnowed minimizer hashes are min-of-~w order statistics, so their
+    density piles up near 0 (CDF ~ 1-(1-x)^w) and a uniform radix directory
+    on the raw hash overloads its low buckets ~w-fold. This computes
+    key = (2^32-1) - ((2^32-1-h)/2^32)^e in exact 0.32 fixed point
+    (binary exponentiation; each product keeps the high 32 bits), which
+    flattens that CDF. Every step is monotone non-decreasing in ``h``
+    (floor of products of monotone factors), so equal hashes share a key
+    and bucket runs stay CONTIGUOUS in hash-sorted order — the block-mode
+    invariants are preserved. :func:`remix_keys_jax` is the bit-identical
+    device twin (same operation order).
+
+    ``e == 0`` or ``1`` is the identity (no remix)."""
+    if e <= 1:
+        return np.asarray(h, np.uint32)
+    top = np.uint64(0xFFFFFFFF)
+    y = (top - np.asarray(h, np.uint64)) & top
+    acc, base, ee = None, y, e
+    while ee:
+        if ee & 1:
+            acc = base if acc is None else ((acc * base) >> np.uint64(32))
+        ee >>= 1
+        if ee:
+            base = (base * base) >> np.uint64(32)
+    return (top - acc).astype(np.uint32)
+
+
+def remix_keys_jax(h, e: int):
+    """Device twin of :func:`remix_keys_np` on uint32 lanes (exact mulhi
+    via 16-bit limbs — see u64._mul32_full); identical truncation order."""
+    from .u64 import _mul32_full
+
+    if e <= 1:
+        return h
+    top = jnp.uint32(0xFFFFFFFF)
+    y = top - h
+    acc, base, ee = None, y, e
+    while ee:
+        if ee & 1:
+            acc = base if acc is None else _mul32_full(acc, base)[0]
+        ee >>= 1
+        if ee:
+            base = _mul32_full(base, base)[0]
+    return top - acc
+
+
+REMIX_LADDER = (0, 4, 8, 12, 16, 24, 32)
+
+
+def build_uniq_tables(hash_sorted: np.ndarray, nb_bits: int = None,
+                      remix_e: int = None):
     """Host-side construction of the unique-hash table + radix directory
     for :class:`DeviceShard`. Returns (uniq_hash [U], uniq_start [U+1],
-    bucket_start [2^nb_bits + 1], bucket_shift, bisect_steps).
+    bucket_start [2^nb_bits + 1], bucket_shift, bisect_steps, remix_e).
 
     The directory width is grown (up to ``LOOKUP_NB_CAP``) until every bucket
     holds <= LOOKUP_KMAX unique hashes, enabling the bisection-free aligned
     8-block lookup in :func:`batch_l1` (bisect_steps stays valid as the
-    fallback for pathological hash distributions)."""
+    fallback for pathological hash distributions). When the raw hash can't
+    get there (winnowed minimizer hashes are min-of-w skewed — at realistic
+    index sizes the densest raw-hash buckets run ~w deep), bucket keys are
+    remixed through the monotone equalizer :func:`remix_keys_np`, exponent
+    picked empirically from ``REMIX_LADDER`` (smallest max bucket wins;
+    ``remix_e`` pins it externally, e.g. for cross-shard-common tables)."""
     hs = np.asarray(hash_sorted, dtype=np.uint32)
     uniq, first_idx = np.unique(hs, return_index=True)
     uniq_start = np.concatenate([first_idx, [hs.shape[0]]]).astype(np.int32)
     n_u = max(1, len(uniq))
-    def _max_bucket(nb):
-        # uniq is sorted, so bucket sizes are run lengths of its top bits
-        keys = uniq >> np.uint32(32 - nb)
-        edges = np.flatnonzero(np.diff(keys))
-        bounds = np.concatenate([[-1], edges, [len(keys) - 1]])
-        return int(np.max(np.diff(bounds))) if len(keys) else 0
 
-    if nb_bits is None:
-        nb_bits = min(LOOKUP_NB_CAP, max(8, int(np.ceil(np.log2(n_u))) + 2))
-        while nb_bits < LOOKUP_NB_CAP and _max_bucket(nb_bits) > LOOKUP_KMAX:
-            nb_bits += 1
-    shift = 32 - nb_bits
+    def _max_bucket(keys, nb):
+        # keys are sorted (monotone remix), so bucket sizes are run lengths
+        # of their top bits
+        kk = keys >> np.uint32(32 - nb)
+        edges = np.flatnonzero(np.diff(kk))
+        bounds = np.concatenate([[-1], edges, [len(kk) - 1]])
+        return int(np.max(np.diff(bounds))) if len(kk) else 0
+
+    def _grow(keys):
+        if nb_bits is not None:
+            return nb_bits, _max_bucket(keys, nb_bits)
+        nb = min(LOOKUP_NB_CAP, max(8, int(np.ceil(np.log2(n_u))) + 2))
+        while nb < LOOKUP_NB_CAP and _max_bucket(keys, nb) > LOOKUP_KMAX:
+            nb += 1
+        return nb, _max_bucket(keys, nb)
+
+    if remix_e is None:
+        best = None
+        for e in REMIX_LADDER:
+            keys_e = remix_keys_np(uniq, e)
+            nb_e, mb_e = _grow(keys_e)
+            if best is None or mb_e < best[2]:
+                best = (e, nb_e, mb_e, keys_e)
+            if mb_e <= LOOKUP_KMAX:
+                break
+        remix_e, nb, _, keys = best
+    else:
+        keys = remix_keys_np(uniq, remix_e)
+        nb, _ = _grow(keys)
+    shift = 32 - nb
     # bucket_start via bincount+cumsum: O(U + NB), vs 2^nb binary searches
     counts = np.bincount(
-        (uniq >> np.uint32(shift)).astype(np.int64), minlength=1 << nb_bits
+        (keys >> np.uint32(shift)).astype(np.int64), minlength=1 << nb
     )
-    bucket_start = np.empty((1 << nb_bits) + 1, np.int32)
+    bucket_start = np.empty((1 << nb) + 1, np.int32)
     bucket_start[0] = 0
     bucket_start[1:] = np.cumsum(counts)
     max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
@@ -88,7 +164,7 @@ def build_uniq_tables(hash_sorted: np.ndarray, nb_bits: int = None):
     if len(uniq) == 0:  # degenerate empty shard
         uniq = np.zeros(1, np.uint32)
         uniq_start = np.zeros(2, np.int32)
-    return uniq, uniq_start, bucket_start, shift, steps
+    return uniq, uniq_start, bucket_start, shift, steps, remix_e
 
 
 LOOKUP_KMAX = 8  # max bucket size for the bisection-free lookup path
@@ -270,7 +346,8 @@ def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
         "kv32",
         "dir_packed",
     ],
-    meta_fields=["freq_threshold", "bucket_shift", "bisect_steps", "lookup_mode"],
+    meta_fields=["freq_threshold", "bucket_shift", "bisect_steps",
+                 "lookup_mode", "remix_e"],
 )
 @dataclass
 class DeviceShard:
@@ -320,15 +397,17 @@ class DeviceShard:
     freq_threshold: int
     bucket_shift: int  # hash >> shift = bucket id
     bisect_steps: int  # bisection iterations within a bucket (fallback path)
-    lookup_mode: str  # 'block8' | 'bisect'
+    lookup_mode: str  # 'block8' | 'block16' | 'bisect'
+    remix_e: int = 0  # bucket-key equalizer exponent (0 = raw top bits);
+    # see remix_keys_np — minimizer hashes are min-of-w skewed
 
     @classmethod
     def host_tables(cls, shard) -> dict:
         """All derived host-side tables as numpy arrays + scalar metadata —
         the expensive part of :meth:`from_host`, separated so large-index
         builds can disk-cache it (minutes of sorts at 10^8 minimizers)."""
-        uniq, uniq_start, bucket_start, shift, steps = build_uniq_tables(
-            np.asarray(shard.hash_sorted, dtype=np.uint32)
+        uniq, uniq_start, bucket_start, shift, steps, remix_e = (
+            build_uniq_tables(np.asarray(shard.hash_sorted, dtype=np.uint32))
         )
         max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
         mode = "bisect"
@@ -383,6 +462,7 @@ class DeviceShard:
             "bucket_shift": np.int64(shift),
             "bisect_steps": np.int64(steps),
             "lookup_mode": np.array(mode),
+            "remix_e": np.int64(remix_e),
         }
 
     @classmethod
@@ -403,6 +483,7 @@ class DeviceShard:
             bucket_shift=int(t["bucket_shift"]),
             bisect_steps=int(t["bisect_steps"]),
             lookup_mode=str(t["lookup_mode"]),
+            remix_e=int(t["remix_e"]) if "remix_e" in t else 0,
         )
 
     @classmethod
@@ -509,7 +590,8 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
     """
     thr = shard.freq_threshold if freq_threshold is None else freq_threshold
     U = shard.uniq_hash.shape[0]
-    b = (q_hash >> shard.bucket_shift).astype(jnp.int32)
+    bkey = remix_keys_jax(q_hash, shard.remix_e)
+    b = (bkey >> shard.bucket_shift).astype(jnp.int32)
 
     if shard.lookup_mode == "block8":
         # one packed directory gather gives (lo, bucket size <= 8); the

@@ -145,6 +145,7 @@ def _make_sharded_step(mesh, cfg: MapKernelConfig, stacked):
             bucket_shift=stacked["bucket_shift"],
             bisect_steps=stacked["bisect_steps"],
             lookup_mode=stacked["lookup_mode"],
+            remix_e=stacked.get("remix_e", 0),
         )
         q_hash, q_strand, s_size, s_ovf = batch_sketch(cfg, reads_l, lens_l)
         c_seq, c_start, c_end, n_c, l1_ovf = batch_l1(

@@ -109,11 +109,12 @@ def stack_shards(parts: List[SketchShard]):
     )
     steps_common = 1
     max_bucket = 0
+    remix_common = None  # bucket-key equalizer must be common across shards
     for p in parts:
         hs_pad = np.full(m_max, np.uint32(0xFFFFFFFF), np.uint32)
         hs_pad[: p.n_minimizers] = p.hash_sorted
-        uniq, uniq_start, bucket_start, shift, steps = build_uniq_tables(
-            hs_pad, nb_bits=nb_bits
+        uniq, uniq_start, bucket_start, shift, steps, remix_common = (
+            build_uniq_tables(hs_pad, nb_bits=nb_bits, remix_e=remix_common)
         )
         steps_common = max(steps_common, steps)
         if len(uniq):
@@ -186,6 +187,7 @@ def stack_shards(parts: List[SketchShard]):
     out["bucket_shift"] = 32 - nb_bits
     out["bisect_steps"] = steps_common
     out["lookup_mode"] = mode
+    out["remix_e"] = int(remix_common or 0)
     return out
 
 
@@ -233,6 +235,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             bucket_shift=stacked["bucket_shift"],
             bisect_steps=stacked["bisect_steps"],
             lookup_mode=stacked["lookup_mode"],
+            remix_e=stacked.get("remix_e", 0),
         )
         q_hash, q_strand, s_size, _ = batch_sketch(cfg, reads_l, lens_l)
         c_seq, c_start, c_end, n_c, ovf = batch_l1(

@@ -1,4 +1,8 @@
-"""Time production batch_sketch / batch_l1 / map_batch_stage1 on the chip."""
+"""Time production batch_sketch / batch_l1 / map_batch_stage1 on the chip.
+
+``--large`` loads the cached 1 Gbp structured bench DB (run bench.py once
+first) instead of the 16 Mbp uniform-random quick DB.
+"""
 import sys
 import time
 
@@ -6,7 +10,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from bench import build_db, make_reads  # noqa: E402
+from bench import build_db_quick, build_db_large, make_reads_quick  # noqa: E402
 
 
 def main():
@@ -28,10 +32,15 @@ def main():
         return (time.perf_counter() - t0) / n, out
 
     rng = np.random.default_rng(7)
-    genomes, shard = build_db(rng, n_genomes=8, genome_len=2_000_000)
-    reads = make_reads(rng, genomes, 128)
+    if "--large" in sys.argv:
+        shard, tables, all_reads, _ = build_db_large()
+        reads = all_reads[:128]
+        dev = DeviceShard.from_tables(tables)
+    else:
+        genomes, shard = build_db_quick(rng, n_genomes=8, genome_len=2_000_000)
+        reads = make_reads_quick(rng, genomes, 128)
+        dev = DeviceShard.from_host(shard)
     cfg = MapKernelConfig.for_read_len(8192, 16, 16, 4)
-    dev = DeviceShard.from_host(shard)
     print(f"lookup_mode={dev.lookup_mode} nb_bits={32-dev.bucket_shift}")
     B = 128
     r = np.full((B, 8192), ord("A"), np.uint8)
@@ -95,7 +104,10 @@ def main():
 
     from metamaps_tpu.ops.batch_map import map_batch_stage1a, map_batch_stage1b
 
-    reads2 = make_reads(rng, genomes, 256)
+    if "--large" in sys.argv:
+        reads2 = (all_reads * 2)[:256]
+    else:
+        reads2 = make_reads_quick(rng, genomes, 256)
     r2 = np.full((256, 8192), ord("A"), np.uint8)
     l2_ = np.zeros(256, np.int32)
     for i, s in enumerate(reads2):

@@ -39,7 +39,7 @@ def _shard_from_hashes(hashes: np.ndarray) -> SketchShard:
 
 
 def _force_mode(ds: DeviceShard, shard: SketchShard, mode: str) -> DeviceShard:
-    uniq, uniq_start, bucket_start, shift, steps = build_uniq_tables(
+    uniq, uniq_start, bucket_start, shift, steps, remix_e = build_uniq_tables(
         np.asarray(shard.hash_sorted, np.uint32)
     )
     return dataclasses.replace(
@@ -50,6 +50,7 @@ def _force_mode(ds: DeviceShard, shard: SketchShard, mode: str) -> DeviceShard:
         bucket_start=jnp.asarray(bucket_start),
         bucket_shift=shift,
         bisect_steps=steps,
+        remix_e=remix_e,
     )
 
 
@@ -123,6 +124,90 @@ def test_lookup_modes_agree(cluster):
     np.testing.assert_array_equal(
         g_qkey[realq], o_qkey.reshape(3, S)[realq]
     )
+
+
+def test_remix_keys_host_device_identical():
+    """remix_keys_np and remix_keys_jax must agree bit-for-bit (the bucket
+    of a query is computed on device, of an index entry on host)."""
+    from metamaps_tpu.ops.batch_map import remix_keys_jax, remix_keys_np
+
+    rng = np.random.default_rng(5)
+    h = np.concatenate([
+        rng.integers(0, 2**32, 5000, dtype=np.uint64).astype(np.uint32),
+        np.array([0, 1, 2, 0xFFFFFFFF, 0xFFFFFFFE, 0x80000000], np.uint32),
+    ])
+    for e in (2, 3, 4, 8, 12, 16, 24, 32):
+        kh = remix_keys_np(h, e)
+        kd = np.asarray(remix_keys_jax(jnp.asarray(h), e))
+        np.testing.assert_array_equal(kh, kd)
+        # monotone: sorted input -> sorted keys (bucket contiguity)
+        hs = np.sort(h)
+        ks = remix_keys_np(hs, e)
+        assert np.all(np.diff(ks.astype(np.int64)) >= 0)
+    # e <= 1 is the identity
+    np.testing.assert_array_equal(remix_keys_np(h, 0), h)
+    np.testing.assert_array_equal(remix_keys_np(h, 1), h)
+
+
+def test_remix_equalizes_minimizer_skew():
+    """Minimizer hashes are min-of-w order statistics; at a pinned directory
+    width the raw top-bit buckets run ~w deep while the remixed buckets stay
+    near-Poisson — and the remixed block lookup agrees with bisect and a
+    host oracle."""
+    from metamaps_tpu.ops.batch_map import build_block_tables
+
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**32, (200_000, 16), dtype=np.uint64).min(
+        axis=1
+    ).astype(np.uint32)
+    shard = _shard_from_hashes(h)
+    hs = np.asarray(shard.hash_sorted, np.uint32)
+
+    u0, us0, bs0, _, _, e0 = build_uniq_tables(hs, nb_bits=16, remix_e=0)
+    mb0 = int(np.max(np.diff(bs0)))
+    u1, us1, bs1, sh1, st1, e1 = build_uniq_tables(hs, nb_bits=16)
+    mb1 = int(np.max(np.diff(bs1)))
+    assert e1 > 1, "equalizer not selected on min-of-w input"
+    assert mb1 * 3 < mb0, (mb1, mb0)
+    assert mb1 <= 16, mb1  # block16-eligible at this width
+
+    ds = DeviceShard.from_host(shard)
+    kv32, dirp = build_block_tables(u1, us1, bs1)
+    ds16 = dataclasses.replace(
+        ds, lookup_mode="block16", uniq_hash=jnp.asarray(u1),
+        uniq_start=jnp.asarray(us1), bucket_start=jnp.asarray(bs1),
+        kv32=jnp.asarray(kv32), dir_packed=jnp.asarray(dirp),
+        bucket_shift=sh1, bisect_steps=st1, remix_e=e1,
+    )
+    dsb = dataclasses.replace(ds16, lookup_mode="bisect")
+
+    cfg = MapKernelConfig.for_read_len(2048, 16, 16, l2_impl="scatter")
+    S = cfg.sketch_max
+    qs = np.full((2, S), np.uint32(0xFFFFFFFF))
+    qs[0, :256] = rng.choice(h, 256)
+    qs[1, :256] = rng.integers(0, 2**32, 256, dtype=np.uint64).astype(
+        np.uint32
+    )
+    outs = {}
+    for name, d in (("block16", ds16), ("bisect", dsb)):
+        start, count, total, qkey = batch_lookup(cfg, d, jnp.asarray(qs))
+        outs[name] = tuple(np.asarray(x) for x in (start, count, total, qkey))
+    b_start, b_count, b_total, b_qkey = outs["bisect"]
+    g_start, g_count, g_total, g_qkey = outs["block16"]
+    np.testing.assert_array_equal(b_count, g_count)
+    np.testing.assert_array_equal(b_total, g_total)
+    live = b_count > 0
+    np.testing.assert_array_equal(b_start[live], g_start[live])
+    realq = qs != np.uint32(0xFFFFFFFF)
+    np.testing.assert_array_equal(b_qkey[realq], g_qkey[realq])
+
+    o_start, o_count, o_qkey = _oracle_lookup(
+        shard, qs.reshape(-1), shard.freq_threshold
+    )
+    valid = o_count.reshape(2, S) > 0
+    np.testing.assert_array_equal(g_count, o_count.reshape(2, S))
+    np.testing.assert_array_equal(g_start[valid], o_start.reshape(2, S)[valid])
+    np.testing.assert_array_equal(g_qkey[realq], o_qkey.reshape(2, S)[realq])
 
 
 def test_block16_full_l1_pipeline():
