@@ -274,8 +274,10 @@ def write_tables(results: Dict, out_dir: str):
 
 
 def plot_comparison(results: Dict, out_pdf: str, title: str = ""):
-    """doPlots.R-style panels: read accuracy by level (grouped by run) and
-    composition L1 by level."""
+    """doPlots.R-style panels: read accuracy by level (grouped by run),
+    composition L1 by level, and species accuracy stratified by read
+    category (the truthLeafInDB/novel/... breakdown of
+    validation.pm:433 readLevelComparison that doPlots.R facets on)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -285,7 +287,7 @@ def plot_comparison(results: Dict, out_pdf: str, title: str = ""):
     runs = [k for k in sorted(results) if "skipped" not in results[k]]
     if not runs:
         return
-    fig, axes = plt.subplots(1, 2, figsize=(12, 4.5))
+    fig, axes = plt.subplots(1, 3, figsize=(17, 4.5))
 
     levels = [l for l in LEVELS if l != "absolute"]
     width = 0.8 / max(1, len(runs))
@@ -311,6 +313,24 @@ def plot_comparison(results: Dict, out_pdf: str, title: str = ""):
     axes[1].set_xticks(x + 0.4 - width / 2)
     axes[1].set_xticklabels(levels)
     axes[1].set_ylabel("composition L1 distance")
+
+    cats = sorted({
+        c for key in runs for c in results[key]["reads"] if c != "ALL"
+    })
+    xc = np.arange(len(cats))
+    for i, key in enumerate(runs):
+        by_cat = results[key]["reads"]
+        acc = [
+            (by_cat.get(c, {}).get("species", {}).get("correct", 0)
+             / by_cat[c]["species"]["N"])
+            if by_cat.get(c, {}).get("species", {}).get("N") else np.nan
+            for c in cats
+        ]
+        axes[2].bar(xc + i * width, acc, width, label=key)
+    axes[2].set_xticks(xc + 0.4 - width / 2)
+    axes[2].set_xticklabels(cats, rotation=30, ha="right", fontsize=7)
+    axes[2].set_ylabel("species accuracy by read category")
+    axes[2].set_ylim(0, 1.05)
 
     fig.suptitle(title)
     fig.tight_layout()

@@ -22,6 +22,10 @@ def main():
     )
     from metamaps_tpu.engine.mapper_jax import _minhits_table
 
+    # measurement rule #1 (profiling/README.md): before the first D2H
+    # transfer, "timings" are enqueue costs only
+    jax.device_get(jnp.zeros(4) + 1)
+
     def timeit(fn, *args, n=10):
         out = fn(*args)
         jax.block_until_ready(out)
