@@ -218,6 +218,89 @@ def build_block_tables(uniq: np.ndarray, uniq_start: np.ndarray,
     return kv32, dir_packed
 
 
+BLOCK9P_COUNT_CAP = 31  # 5-bit saturated per-entry counts
+BLOCK9P_START_CAP = 1 << 27  # starts fit 27 bits alongside the count
+
+
+def build_block9p_tables(uniq: np.ndarray, uniq_start: np.ndarray,
+                         bucket_start: np.ndarray):
+    """'block9p' layout: the ONE-row-gather lookup for remix-equalized big
+    indices whose max bucket is 9 (the equalizer's Poisson floor at the
+    directory width cap — exactly the realistic-scale regime, see
+    remix_keys_np).
+
+    Row r = (uniq[8r:8r+16], packed[8r:8r+16]) where packed = start << 5 |
+    min(count, 31). Any bucket [lo, lo+sz) with sz <= 9 lies within row
+    lo//8's 16 entries, and because each entry carries its own count, the
+    match count and the row-space rank never need the successor entry —
+    unlike block8/16's successor-start subtraction, which is what forces
+    the second row fetch when sz can reach 9.
+
+    Applicability (gated by the caller): sz_max <= 9, total minimizers
+    < 2^27 (start field), and frequency threshold <= 31 — the count
+    saturation is then invisible: saturated counts (>= 31 >= thr) are
+    culled by the threshold either way, and a not-found query's rank
+    computed past a saturated last entry (s_last + c_stored <= true
+    successor row, > predecessor's first row) still orders correctly
+    against every entry's first-row in the L2 qrank compare (any value in
+    (pred_first_row, succ_first_row] is equivalent there)."""
+    U = len(uniq)
+    assert int(uniq_start[-1]) < BLOCK9P_START_CAP
+    rows_k = U // 8 + 3
+    keys_flat = np.full((rows_k + 1) * 8, U32_MAX, np.uint32)
+    keys_flat[:U] = uniq
+    counts = np.minimum(
+        (uniq_start[1:].astype(np.int64) - uniq_start[:-1]).astype(np.int64),
+        BLOCK9P_COUNT_CAP,
+    ).astype(np.uint32)
+    packed = (uniq_start[:-1].astype(np.uint32) << np.uint32(5)) | counts
+    # pads rank as "past everything": start = M, count 0
+    packed_flat = np.full(
+        (rows_k + 1) * 8, np.uint32(uniq_start[-1]) << np.uint32(5), np.uint32
+    )
+    packed_flat[:U] = packed
+    kv32 = np.empty((rows_k, 32), np.uint32)
+    win_k = np.lib.stride_tricks.sliding_window_view(keys_flat, 16)
+    win_p = np.lib.stride_tricks.sliding_window_view(packed_flat, 16)
+    kv32[:, :16] = win_k[: rows_k * 8 : 8]
+    kv32[:, 16:] = win_p[: rows_k * 8 : 8]
+    lo = bucket_start[:-1].astype(np.uint32)
+    sz = (bucket_start[1:] - bucket_start[:-1]).astype(np.uint32)  # <= 9
+    dir_packed = lo | (sz << np.uint32(28))
+    return kv32, dir_packed
+
+
+def finalize_lookup_tables(uniq, uniq_start, bucket_start, freq_threshold):
+    """Pick the lookup mode for built uniq tables and materialize the block
+    tables; returns (mode, uniq, uniq_start, bucket_start, kv32,
+    dir_packed) with dead tables shrunk to dummies (shared by
+    DeviceShard.host_tables and cache-migration tooling)."""
+    max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
+    mode = "bisect"
+    if len(uniq) <= LOOKUP_U_CAP:
+        if max_bucket <= LOOKUP_KMAX:
+            mode = "block8"
+        elif (max_bucket <= 9
+              and int(uniq_start[-1]) < BLOCK9P_START_CAP
+              and 0 < freq_threshold <= BLOCK9P_COUNT_CAP):
+            mode = "block9p"
+        elif max_bucket <= 2 * LOOKUP_KMAX:
+            mode = "block16"
+    if mode == "block9p":
+        kv32, dir_packed = build_block9p_tables(uniq, uniq_start, bucket_start)
+    elif mode != "bisect":
+        kv32, dir_packed = build_block_tables(uniq, uniq_start, bucket_start)
+    if mode != "bisect":
+        # the bisect tables are dead in block modes; don't ship them to HBM
+        uniq = np.zeros(1, np.uint32)
+        uniq_start = np.zeros(2, np.int32)
+        bucket_start = np.zeros(2, np.int32)
+    else:
+        kv32 = np.zeros((1, 32), np.uint32)
+        dir_packed = np.zeros(1, np.uint32)
+    return mode, uniq, uniq_start, bucket_start, kv32, dir_packed
+
+
 @dataclass(frozen=True)
 class MapKernelConfig:
     kmer_size: int
@@ -397,7 +480,7 @@ class DeviceShard:
     freq_threshold: int
     bucket_shift: int  # hash >> shift = bucket id
     bisect_steps: int  # bisection iterations within a bucket (fallback path)
-    lookup_mode: str  # 'block8' | 'block16' | 'bisect'
+    lookup_mode: str  # 'block8' | 'block9p' | 'block16' | 'bisect'
     remix_e: int = 0  # bucket-key equalizer exponent (0 = raw top bits);
     # see remix_keys_np — minimizer hashes are min-of-w skewed
 
@@ -409,22 +492,11 @@ class DeviceShard:
         uniq, uniq_start, bucket_start, shift, steps, remix_e = (
             build_uniq_tables(np.asarray(shard.hash_sorted, dtype=np.uint32))
         )
-        max_bucket = int(np.max(np.diff(bucket_start))) if len(uniq) else 0
-        mode = "bisect"
-        if len(uniq) <= LOOKUP_U_CAP:
-            if max_bucket <= LOOKUP_KMAX:
-                mode = "block8"
-            elif max_bucket <= 2 * LOOKUP_KMAX:
-                mode = "block16"
-        if mode != "bisect":
-            kv32, dir_packed = build_block_tables(uniq, uniq_start, bucket_start)
-            # the bisect tables are dead in this mode; don't ship them to HBM
-            uniq = np.zeros(1, np.uint32)
-            uniq_start = np.zeros(2, np.int32)
-            bucket_start = np.zeros(2, np.int32)
-        else:
-            kv32 = np.zeros((1, 32), np.uint32)
-            dir_packed = np.zeros(1, np.uint32)
+        mode, uniq, uniq_start, bucket_start, kv32, dir_packed = (
+            finalize_lookup_tables(
+                uniq, uniq_start, bucket_start, int(shard.freq_threshold)
+            )
+        )
         pair = np.stack(
             [np.asarray(shard.seqid_byhash, np.int32),
              np.asarray(shard.wpos_byhash, np.int32)], axis=1,
@@ -626,6 +698,45 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
         arow = jnp.sum(
             jnp.where(
                 jnp.arange(16, dtype=jnp.int32) == idx16[..., None], s16, 0
+            ),
+            axis=-1,
+        )
+    elif shard.lookup_mode == "block9p":
+        # single-row mode (see build_block9p_tables): 16 keys + 16 packed
+        # (start << 5 | count<=31) words cover any bucket of size <= 9, and
+        # per-entry counts make both the match count and the row-space rank
+        # successor-free — a lookup is 2 gathers even where block8's
+        # successor-start trick would need the next row
+        d = shard.dir_packed[b]
+        lo = (d & jnp.uint32(0x0FFFFFFF)).astype(jnp.int32)
+        sz = (d >> jnp.uint32(28)).astype(jnp.int32)
+        r0 = lo >> 3
+        row = jnp.take(shard.kv32, r0, axis=0)  # [B, S, 32]
+        k16 = row[..., :16]
+        p16 = row[..., 16:]
+        s16 = (p16 >> jnp.uint32(5)).astype(jnp.int32)
+        c16 = (p16 & jnp.uint32(BLOCK9P_COUNT_CAP)).astype(jnp.int32)
+        g = (r0 << 3)[..., None] + jnp.arange(16, dtype=jnp.int32)
+        in_b = (g >= lo[..., None]) & (g < (lo + sz)[..., None])
+        m = (k16 == q_hash[..., None]) & in_b
+        found = m.any(axis=-1)
+        start = jnp.sum(jnp.where(m, s16, 0), axis=-1).astype(jnp.int32)
+        count = jnp.sum(jnp.where(m, c16, 0), axis=-1).astype(jnp.int32)
+        cnt_lt = jnp.sum(
+            ((k16 < q_hash[..., None]) & in_b).astype(jnp.int32), axis=-1
+        )
+        # rank: the insertion entry s[lo + cnt_lt] when it's inside the
+        # bucket (or the empty bucket's own lo, which is the successor's
+        # first entry); past a non-empty bucket, last start + stored count
+        # — exact when unsaturated, and still strictly between the
+        # predecessor's and successor's first rows when saturated, which
+        # is all the qkey compare needs (see build_block9p_tables)
+        past = (cnt_lt == sz) & (sz > 0)
+        idx16 = jnp.where(past, lo + sz - 1, lo + cnt_lt) - (r0 << 3)
+        sel = jnp.arange(16, dtype=jnp.int32) == idx16[..., None]
+        arow = jnp.sum(
+            jnp.where(
+                sel, jnp.where(past[..., None], s16 + c16, s16), 0
             ),
             axis=-1,
         )

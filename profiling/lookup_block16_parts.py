@@ -23,7 +23,7 @@ def main():
 
     shard, tables, reads, _ = build_db_large()
     dev = DeviceShard.from_tables(tables)
-    assert dev.lookup_mode == "block16", dev.lookup_mode
+    assert dev.lookup_mode in ("block16", "block9p"), dev.lookup_mode
     cfg = MapKernelConfig.for_read_len(8192, 16, 16, 4)
     B = 256
     r = np.full((B, 8192), ord("A"), np.uint8)
@@ -49,42 +49,42 @@ def main():
     e = dev.remix_e
     shift = dev.bucket_shift
 
+    # rule #4: big device arrays ride as ARGUMENTS, never jit closures
     @jax.jit
     def p_remix(qh):
         return remix_keys_jax(qh, e) >> shift
 
     @jax.jit
-    def p_dir(qh):
+    def p_dir(dirp, qh):
         b = (remix_keys_jax(qh, e) >> shift).astype(jnp.int32)
-        return dev.dir_packed[b]
+        return dirp[b]
 
     @jax.jit
-    def p_rowA(qh):
+    def p_rowA(dirp, kv32, qh):
         b = (remix_keys_jax(qh, e) >> shift).astype(jnp.int32)
-        d = dev.dir_packed[b]
+        d = dirp[b]
         lo = (d & jnp.uint32(0x0FFFFFFF)).astype(jnp.int32)
         r0 = lo >> 3
-        return jnp.take(dev.kv32, r0, axis=0).sum(axis=-1)
+        return jnp.take(kv32, r0, axis=0).sum(axis=-1)
 
     @jax.jit
-    def p_rowAB(qh):
+    def p_rowAB(dirp, kv32, qh):
         b = (remix_keys_jax(qh, e) >> shift).astype(jnp.int32)
-        d = dev.dir_packed[b]
+        d = dirp[b]
         lo = (d & jnp.uint32(0x0FFFFFFF)).astype(jnp.int32)
         r0 = lo >> 3
-        rowA = jnp.take(dev.kv32, r0, axis=0)
-        rowB = jnp.take(dev.kv32, r0 + 2, axis=0)
+        rowA = jnp.take(kv32, r0, axis=0)
+        rowB = jnp.take(kv32, r0 + 2, axis=0)
         return rowA.sum(axis=-1) + rowB.sum(axis=-1)
 
-    @jax.jit
     def p_full(qh):
         return batch_lookup(cfg, dev, qh)
 
     print(f"B={B} S={cfg.sketch_max} remix_e={e} nb={32 - shift}")
     print(f"remix+shift only:   {timeit(p_remix, q_hash):7.2f} ms")
-    print(f"+ dir gather:       {timeit(p_dir, q_hash):7.2f} ms")
-    print(f"+ kv32 rowA:        {timeit(p_rowA, q_hash):7.2f} ms")
-    print(f"+ kv32 rowA+rowB:   {timeit(p_rowAB, q_hash):7.2f} ms")
+    print(f"+ dir gather:       {timeit(p_dir, dev.dir_packed, q_hash):7.2f} ms")
+    print(f"+ kv32 rowA:        {timeit(p_rowA, dev.dir_packed, dev.kv32, q_hash):7.2f} ms")
+    print(f"+ kv32 rowA+rowB:   {timeit(p_rowAB, dev.dir_packed, dev.kv32, q_hash):7.2f} ms")
     print(f"full batch_lookup:  {timeit(p_full, q_hash):7.2f} ms")
 
 

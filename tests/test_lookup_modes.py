@@ -210,6 +210,107 @@ def test_remix_equalizes_minimizer_skew():
     np.testing.assert_array_equal(g_qkey[realq], o_qkey.reshape(2, S)[realq])
 
 
+def _force_block9p(shard, nb_lo=14, thr=None):
+    """Build a block9p DeviceShard at the narrowest pinned directory width
+    whose remixed max bucket is <= 9, plus its bisect twin."""
+    from metamaps_tpu.ops.batch_map import build_block9p_tables
+
+    hs = np.asarray(shard.hash_sorted, np.uint32)
+    for nb in range(nb_lo, 24):
+        u1, us1, bs1, sh1, st1, e1 = build_uniq_tables(hs, nb_bits=nb)
+        if int(np.max(np.diff(bs1))) <= 9:
+            break
+    else:
+        raise AssertionError("no width reached max bucket <= 9")
+    kv32, dirp = build_block9p_tables(u1, us1, bs1)
+    ds = DeviceShard.from_host(shard)
+    ds9 = dataclasses.replace(
+        ds, lookup_mode="block9p", uniq_hash=jnp.asarray(u1),
+        uniq_start=jnp.asarray(us1), bucket_start=jnp.asarray(bs1),
+        kv32=jnp.asarray(kv32), dir_packed=jnp.asarray(dirp),
+        bucket_shift=sh1, bisect_steps=st1, remix_e=e1,
+        freq_threshold=thr if thr is not None else ds.freq_threshold,
+    )
+    return ds9, dataclasses.replace(ds9, lookup_mode="bisect")
+
+
+def test_block9p_parity():
+    """The single-row packed mode must agree exactly with bisect and the
+    host oracle when no count saturates (counts < 32)."""
+    rng = np.random.default_rng(11)
+    h = rng.integers(0, 2**32, (150_000, 16), dtype=np.uint64).min(
+        axis=1
+    ).astype(np.uint32)
+    shard = _shard_from_hashes(h)
+    ds9, dsb = _force_block9p(shard)
+
+    cfg = MapKernelConfig.for_read_len(2048, 16, 16, l2_impl="scatter")
+    S = cfg.sketch_max
+    rngq = np.random.default_rng(12)
+    qs = np.full((2, S), np.uint32(0xFFFFFFFF))
+    qs[0, :256] = rngq.choice(h, 256)
+    qs[1, :256] = rngq.integers(0, 2**32, 256, dtype=np.uint64).astype(
+        np.uint32
+    )
+    outs = {}
+    for name, d in (("block9p", ds9), ("bisect", dsb)):
+        start, count, total, qkey = batch_lookup(cfg, d, jnp.asarray(qs))
+        outs[name] = tuple(np.asarray(x) for x in (start, count, total, qkey))
+    b_start, b_count, b_total, b_qkey = outs["bisect"]
+    g_start, g_count, g_total, g_qkey = outs["block9p"]
+    np.testing.assert_array_equal(b_count, g_count)
+    np.testing.assert_array_equal(b_total, g_total)
+    live = b_count > 0
+    np.testing.assert_array_equal(b_start[live], g_start[live])
+    realq = qs != np.uint32(0xFFFFFFFF)
+    np.testing.assert_array_equal(b_qkey[realq], g_qkey[realq])
+
+    o_start, o_count, o_qkey = _oracle_lookup(
+        shard, qs.reshape(-1), shard.freq_threshold
+    )
+    valid = o_count.reshape(2, S) > 0
+    np.testing.assert_array_equal(g_count, o_count.reshape(2, S))
+    np.testing.assert_array_equal(g_start[valid], o_start.reshape(2, S)[valid])
+    np.testing.assert_array_equal(g_qkey[realq], o_qkey.reshape(2, S)[realq])
+
+
+def test_block9p_saturated_count_rank_semantics():
+    """With an entry whose count saturates the 5-bit field (>= 32), the
+    stored rank past it is inexact by design — but must still order
+    identically against every entry's first row in the qkey compare
+    (qkey < 2r+1 / == 2r+1), and the saturated entry itself must be culled
+    by the frequency threshold in both modes."""
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 0xE0000000, 3000, dtype=np.uint64).astype(np.uint32)
+    V = np.uint32(0xFFF00000)  # isolated top bucket, repeated 40x
+    h = np.concatenate([base, np.full(40, V, np.uint32)])
+    shard = _shard_from_hashes(h)
+    ds9, dsb = _force_block9p(shard, thr=20)
+
+    cfg = MapKernelConfig.for_read_len(2048, 16, 16, l2_impl="scatter")
+    S = cfg.sketch_max
+    qs = np.full((1, S), np.uint32(0xFFFFFFFF))
+    probes = np.array(
+        [V, V + 1, V - 1, V + 12345, np.uint32(0xFFFFFFF0)], np.uint32
+    )
+    qs[0, : len(probes)] = probes
+    out9 = [np.asarray(x) for x in batch_lookup(cfg, ds9, jnp.asarray(qs))]
+    outb = [np.asarray(x) for x in batch_lookup(cfg, dsb, jnp.asarray(qs))]
+    # count of the saturated entry is culled in both modes
+    np.testing.assert_array_equal(out9[1], outb[1])
+    assert out9[1][0, 0] == 0  # V: count 40 >= thr 20 -> culled
+    # qkey ordering vs every entry's first row agrees with exact bisect
+    hs = np.asarray(shard.hash_sorted, np.uint32)
+    first_rows = np.unique(np.searchsorted(hs, np.unique(hs)))
+    q9 = out9[3][0, : len(probes)].astype(np.int64)
+    qb = outb[3][0, : len(probes)].astype(np.int64)
+    for r in first_rows:
+        np.testing.assert_array_equal(q9 < 2 * r + 1, qb < 2 * r + 1)
+        np.testing.assert_array_equal(q9 == 2 * r + 1, qb == 2 * r + 1)
+    # found entries keep exact qkeys
+    assert q9[0] == qb[0] and q9[0] % 2 == 1
+
+
 def test_block16_full_l1_pipeline():
     """A mini end-to-end check: mapping results must not change when the
     index is forced into block16 (the L1 candidates feed from the same
