@@ -94,6 +94,20 @@ def main(argv=None):
         "outputs are unified per read exactly as in the memory-bounded "
         "shard loop",
     )
+    p_map.add_argument(
+        "--meshBuckets", default=None, metavar="L1,L2,...",
+        help="override the mesh engine's read-length buckets (compiled "
+        "kernel shapes); small buckets keep XLA-CPU compile time down on "
+        "virtual-device dryruns",
+    )
+    p_map.add_argument(
+        "--meshRows", type=int, default=None,
+        help="reads per device per mesh dispatch (default 32)",
+    )
+    p_map.add_argument(
+        "--meshProgress", action="store_true",
+        help="print time-stamped mesh phase progress to stderr",
+    )
 
     p_mai = sub.add_parser("mapAgainstIndex", help="map reads against a stored index")
     p_mai.add_argument("--index", "-i", required=True)
@@ -254,13 +268,40 @@ def main(argv=None):
     p_bi.add_argument("--mappings", required=True)
     p_bi.add_argument("--truth", required=True)
 
+    p_ee = sub.add_parser(
+        "evaluateExternal",
+        help="score one or more methods' results on a real dataset "
+        "against a per-read truth (evaluateExternalDatasets.pl)",
+    )
+    p_ee.add_argument("--DB", required=True)
+    p_ee.add_argument("--truth", required=True,
+                      help="per-read truth: readID<TAB>taxonID")
+    p_ee.add_argument("--fastq", default=None)
+    p_ee.add_argument("--method", action="append", required=True,
+                      metavar="NAME=r2t[:dist]",
+                      help="results files per method; repeatable")
+    p_ee.add_argument("--output", required=True, help="output table prefix")
+
     p_pl = sub.add_parser("plotIdentities", help="per-genome identity/coverage panels (PDF)")
     p_pl.add_argument("--mappings", required=True)
     p_pl.add_argument("--output", default=None)
 
-    p_dl = sub.add_parser("downloadRefSeq", help="produce a RefSeq download manifest")
+    p_dl = sub.add_parser(
+        "downloadRefSeq",
+        help="download RefSeq genomes + taxonomy (or produce a manifest)",
+    )
     p_dl.add_argument("--targetDir", required=True)
     p_dl.add_argument("--branches", default=None, help="comma-separated refseq branches")
+    p_dl.add_argument("--fetch", action="store_true",
+                      help="actually download (default: write a manifest only)")
+    p_dl.add_argument("--taxonomyDir", default=None,
+                      help="with --fetch: download + extract taxdump here")
+    p_dl.add_argument("--skipIncompleteGenomes", action="store_true",
+                      help="keep only 'Complete Genome' assemblies")
+    p_dl.add_argument("--maxAssemblies", type=int, default=None)
+    p_dl.add_argument("--baseUrl", default=None,
+                      help="mirror root (default https://ftp.ncbi.nlm.nih.gov)")
+    p_dl.add_argument("--DB", default="refseq", choices=["refseq", "genbank"])
 
     args = parser.parse_args(argv)
     if getattr(args, "profile", False):
@@ -314,11 +355,45 @@ def main(argv=None):
         print(plot_identities_em(args.mappings, args.output))
         return 0
 
+    if args.command == "evaluateExternal":
+        from .sim.external_eval import evaluate_external, parse_method_spec
+
+        methods = dict(parse_method_spec(s) for s in args.method)
+        result = evaluate_external(
+            args.DB, args.truth, methods, fastq=args.fastq,
+            out_prefix=args.output,
+        )
+        m = result["meta"]
+        print(
+            f"{m['n_truth_reads']} truth reads "
+            f"({m['n_truth_taxa_changed_by_projection']} projected to "
+            f"DB-mappable ancestors); wrote {args.output}.readLevel.tsv, "
+            f"{args.output}.distribution.tsv"
+        )
+        return 0
+
     if args.command == "downloadRefSeq":
-        from .db.download import make_plan, write_manifest
+        from .db.download import NCBI_FTP, fetch, make_plan, write_manifest
 
         branches = args.branches.split(",") if args.branches else None
-        plan = make_plan(args.targetDir, branches)
+        plan = make_plan(args.targetDir, branches, section=args.DB,
+                         base_url=args.baseUrl or NCBI_FTP)
+        if args.fetch:
+            levels = (
+                ("Complete Genome",) if args.skipIncompleteGenomes
+                else ("Complete Genome", "Chromosome")
+            )
+            res = fetch(
+                plan, assembly_levels=levels,
+                taxonomy_dir=args.taxonomyDir,
+                max_assemblies=args.maxAssemblies, progress=True,
+            )
+            print(
+                f"downloaded {res.assemblies_downloaded} assemblies "
+                f"({res.assemblies_skipped} already local, "
+                f"{len(res.failures)} failures -> {res.report_path})"
+            )
+            return 0 if not res.failures else 1
         print(write_manifest(plan, args.targetDir.rstrip("/") + ".manifest"))
         return 0
 
@@ -573,7 +648,16 @@ def main(argv=None):
             )
 
             n_shard, n_data = parse_mesh_spec(args.mesh)
-            map_directly_sharded(params, n_shard, n_data)
+            buckets = (
+                tuple(int(x) for x in args.meshBuckets.split(","))
+                if args.meshBuckets else None
+            )
+            map_directly_sharded(
+                params, n_shard, n_data,
+                read_len_buckets=buckets,
+                rows_per_device=args.meshRows,
+                progress=bool(args.meshProgress),
+            )
         else:
             from .engine.mapwrap import map_directly
 

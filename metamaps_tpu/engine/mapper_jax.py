@@ -113,10 +113,18 @@ class JaxMapperEngine:
         the cap fall back to the serial oracle."""
         self.shard = shard
         self.params = params
-        self.device_shard = (
-            device_shard if device_shard is not None
-            else DeviceShard.from_host(shard)
-        )
+        if device_shard is not None:
+            self.device_shard = device_shard
+        else:
+            import jax
+
+            # accelerators run the pallas L2 path, which reads pos_tab's
+            # hrow/strand rows — the standalone hash_pos/strand_pos planes
+            # are only for the CPU scatter path, so don't ship them to HBM
+            on_accel = jax.default_backend() in ("tpu", "axon", "gpu")
+            self.device_shard = DeviceShard.from_host(
+                shard, drop_cpu_planes=on_accel
+            )
         self.hits_max_override = hits_max
         self.stats = {"oracle_fallbacks": 0}
         self.buckets = tuple(sorted(read_len_buckets))
@@ -620,6 +628,19 @@ class JaxMapperEngine:
                     cfg = dataclasses.replace(cfg, l2_impl="scatter")
                     self._configs[bucket] = cfg
                     cfg_r = dataclasses.replace(cfg_r, l2_impl="scatter")
+                    if (self.device_shard.hash_pos.shape[0] == 0
+                            and self.device_shard.wpos.shape[0] > 0):
+                        # the scatter path needs the CPU planes that a
+                        # pallas-only upload dropped; restore them from the
+                        # host shard before retrying
+                        import jax.numpy as jnp
+
+                        self.device_shard = dataclasses.replace(
+                            self.device_shard,
+                            hash_pos=jnp.asarray(self.shard.hash_pos_order),
+                            strand_pos=jnp.asarray(self.shard.strand),
+                        )
+                        args = (self.device_shard,) + args[1:]
                     out = batch_l2_gather(cfg_r, *args)
                 else:
                     raise

@@ -417,10 +417,6 @@ def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
         "wpos",
         "hash_pos",
         "strand_pos",
-        "prev_w_same",
-        "chain_b",
-        "next_w_same",
-        "hrow_pos",
         "pos_tab",
         "contig_offsets",
         "uniq_hash",
@@ -457,15 +453,16 @@ class DeviceShard:
 
     hash_sorted: jnp.ndarray  # [M] uint32
     pair_byhash: jnp.ndarray  # [M, 2] int32: (seqid, wpos) in hash order
-    wpos: jnp.ndarray  # [M] int32 (position order)
-    hash_pos: jnp.ndarray  # [M] uint32 (position order)
-    strand_pos: jnp.ndarray  # [M] int8 (position order)
-    prev_w_same: jnp.ndarray  # [M] int32 (see build_chain_tables)
-    chain_b: jnp.ndarray  # [M] int32
-    next_w_same: jnp.ndarray  # [M] int32
-    hrow_pos: jnp.ndarray  # [M] int32 (position order): first row of this
-    # entry's hash in hash_sorted — the "row space" rank used by the L2
-    # qrank/membership compare (see batch_lookup's qkey)
+    wpos: jnp.ndarray  # [M] int32 (position order) — standalone because the
+    # L1/L2 window bisections are dependent-gather loops whose operand must
+    # stay a flat contiguous buffer (a pos_tab row slice risks an M-sized
+    # copy per dispatch)
+    hash_pos: jnp.ndarray  # [M] uint32 (position order). CPU-only plane:
+    # consumed by the scatter/matmul L2 paths and the standalone strand-vote
+    # merge; the pallas path gets membership from pos_tab's hrow row, so
+    # accelerator uploads may pass a zero-size dummy (from_tables
+    # drop_cpu_planes=True)
+    strand_pos: jnp.ndarray  # [M] int8 (position order; CPU-only, see above)
     pos_tab: jnp.ndarray  # [6, M] int32: rows (wpos, hrow_pos, prev_w_same,
     # chain_b, next_w_same, strand) — the position-order tables the L2
     # candidate setup consumes, packed so one vmapped dynamic_slice fetches
@@ -519,10 +516,6 @@ class DeviceShard:
             "wpos": np.asarray(shard.wpos),
             "hash_pos": np.asarray(shard.hash_pos_order),
             "strand_pos": np.asarray(shard.strand),
-            "prev_w_same": prev_w,
-            "chain_b": chain_b,
-            "next_w_same": next_w,
-            "hrow_pos": hrow,
             "pos_tab": pos_tab,
             "contig_offsets": shard.contig_offsets.astype(np.int32),
             "uniq_hash": uniq,
@@ -538,17 +531,25 @@ class DeviceShard:
         }
 
     @classmethod
-    def from_tables(cls, t: dict) -> "DeviceShard":
-        """Upload precomputed :meth:`host_tables` output to device."""
+    def from_tables(cls, t: dict, drop_cpu_planes: bool = False) -> "DeviceShard":
+        """Upload precomputed :meth:`host_tables` output to device.
+
+        ``drop_cpu_planes=True`` replaces ``hash_pos``/``strand_pos`` with
+        zero-size dummies — correct whenever every kernel traced against the
+        shard uses the pallas L2 path (which reads pos_tab's hrow/strand
+        rows instead); saves 5 B/minimizer of HBM. Legacy cache entries with
+        extra standalone-plane keys are ignored."""
         arrays = {
             k: jnp.asarray(t[k])
             for k in (
                 "hash_sorted", "pair_byhash", "wpos", "hash_pos",
-                "strand_pos", "prev_w_same", "chain_b", "next_w_same",
-                "hrow_pos", "pos_tab", "contig_offsets", "uniq_hash",
+                "strand_pos", "pos_tab", "contig_offsets", "uniq_hash",
                 "uniq_start", "bucket_start", "kv32", "dir_packed",
             )
         }
+        if drop_cpu_planes:
+            arrays["hash_pos"] = jnp.zeros(0, jnp.uint32)
+            arrays["strand_pos"] = jnp.zeros(0, jnp.int8)
         return cls(
             **arrays,
             freq_threshold=int(t["freq_threshold"]),
@@ -559,8 +560,19 @@ class DeviceShard:
         )
 
     @classmethod
-    def from_host(cls, shard):
-        return cls.from_tables(cls.host_tables(shard))
+    def from_host(cls, shard, drop_cpu_planes: bool = False):
+        return cls.from_tables(cls.host_tables(shard),
+                               drop_cpu_planes=drop_cpu_planes)
+
+    def hbm_bytes(self) -> int:
+        """Total bytes of the device-resident tables (the reference's
+        getMemoryOf analog, winSketch.hpp:165)."""
+        import jax
+
+        total = 0
+        for leaf in jax.tree_util.tree_leaves(self):
+            total += leaf.size * leaf.dtype.itemsize
+        return total
 
 
 # ---------------------------------------------------------------------------
@@ -660,6 +672,25 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
     Unlike count, qkey is NOT frequency-thresholded (sketch membership in
     the sliding map is threshold-independent, slidingMap.hpp init).
     """
+    if freq_threshold is not None and shard.lookup_mode == "block9p":
+        # block9p stores 5-bit saturated counts (count = min(true, 31)); an
+        # override above BLOCK9P_COUNT_CAP would silently KEEP truly
+        # frequent entries (true count >= 32 reports 31 < thr). Build-time
+        # selection guarantees the static threshold fits (mode selection in
+        # build_device_shard); overrides must fit too.
+        try:
+            conc = int(freq_threshold)
+        except (TypeError, jax.errors.TracerIntegerConversionError):
+            raise ValueError(
+                "block9p lookup does not support traced freq_threshold "
+                "overrides (5-bit saturated counts); rebuild the shard "
+                "with lookup_mode='block16'/'bisect' for override use"
+            )
+        if conc > BLOCK9P_COUNT_CAP:
+            raise ValueError(
+                f"freq_threshold override {conc} exceeds block9p's "
+                f"saturated count cap {BLOCK9P_COUNT_CAP}"
+            )
     thr = shard.freq_threshold if freq_threshold is None else freq_threshold
     U = shard.uniq_hash.shape[0]
     bkey = remix_keys_jax(q_hash, shard.remix_e)
@@ -1014,6 +1045,11 @@ def _make_candidate_setup(cfg: MapKernelConfig, shard: DeviceShard):
 
         # contiguous occurrence window as a slice (clamped start realigned
         # with a roll) instead of a scalarized [R] gather
+        if shard.hash_pos.shape[0] == 0 and shard.wpos.shape[0] > 0:
+            raise ValueError(
+                "the scatter/matmul L2 paths need the hash_pos plane; this "
+                "shard was uploaded with drop_cpu_planes=True (pallas-only)"
+            )
         M = shard.wpos.shape[0]
         if M < R:
             wp = jnp.concatenate(
@@ -1794,6 +1830,11 @@ def _make_strand_votes(cfg: MapKernelConfig, shard: DeviceShard):
 
     def votes_fn(qh, qs, s, beg, end):
         n = jnp.clip(end - beg, 0, R)
+        if shard.hash_pos.shape[0] == 0 and shard.wpos.shape[0] > 0:
+            raise ValueError(
+                "strand votes need the hash_pos/strand_pos planes; this "
+                "shard was uploaded with drop_cpu_planes=True (pallas-only)"
+            )
         M = shard.hash_pos.shape[0]
         if M < R:
             hp = jnp.concatenate(

@@ -121,19 +121,14 @@ def _make_sharded_step(mesh, cfg: MapKernelConfig, stacked):
     ax_shard, ax_data = mesh.axis_names
 
     def local(hash_sorted, pair_byhash, wpos, hash_pos, strand_pos,
-              prev_w_same, chain_b, next_w_same, hrow_pos, pos_tab,
-              contig_offsets, uniq_hash, uniq_start, bucket_start, kv32,
-              dir_packed, freq_thr, reads_l, lens_l, minhits):
+              pos_tab, contig_offsets, uniq_hash, uniq_start, bucket_start,
+              kv32, dir_packed, freq_thr, reads_l, lens_l, minhits):
         shard = DeviceShard(
             hash_sorted=hash_sorted[0],
             pair_byhash=pair_byhash[0],
             wpos=wpos[0],
             hash_pos=hash_pos[0],
             strand_pos=strand_pos[0],
-            prev_w_same=prev_w_same[0],
-            chain_b=chain_b[0],
-            next_w_same=next_w_same[0],
-            hrow_pos=hrow_pos[0],
             pos_tab=pos_tab[0],
             contig_offsets=contig_offsets[0],
             uniq_hash=uniq_hash[0],
@@ -181,7 +176,7 @@ def _make_sharded_step(mesh, cfg: MapKernelConfig, stacked):
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(sh,) * 17 + (P(ax_data), P(ax_data), P()),
+        in_specs=(sh,) * 13 + (P(ax_data), P(ax_data), P()),
         out_specs=(
             P(None, None, ax_data),
             P(None, None, ax_data),
@@ -197,9 +192,7 @@ def _make_sharded_step(mesh, cfg: MapKernelConfig, stacked):
     def run(reads, lens, minhits):
         return jfn(
             stacked["hash_sorted"], stacked["pair_byhash"], stacked["wpos"],
-            stacked["hash_pos"], stacked["strand_pos"],
-            stacked["prev_w_same"], stacked["chain_b"],
-            stacked["next_w_same"], stacked["hrow_pos"], stacked["pos_tab"],
+            stacked["hash_pos"], stacked["strand_pos"], stacked["pos_tab"],
             stacked["contig_offsets"], stacked["uniq_hash"],
             stacked["uniq_start"], stacked["bucket_start"], stacked["kv32"],
             stacked["dir_packed"], stacked["freq_threshold"].reshape(-1, 1),
@@ -361,12 +354,29 @@ class ShardedMapperEngine:
                 results[d][i] = out
 
 
-def map_directly_sharded(params: Parameters, n_shard: int, n_data: int):
+def map_directly_sharded(params: Parameters, n_shard: int, n_data: int,
+                         read_len_buckets: Sequence[int] = None,
+                         rows_per_device: int = None,
+                         progress: bool = False):
     """mapDirectly over a device mesh: one full index built and partitioned
     spatially, reads streamed data-parallel, per-shard outputs unified with
     the standard unify_files + add_mapping_qualities host finisher —
     byte-identical files and sidecars (mapWrap.h:34-213,215-323 contract
-    with shards in space instead of time)."""
+    with shards in space instead of time).
+
+    ``read_len_buckets``/``rows_per_device`` override the engine's compiled
+    shapes — dryruns and tests on virtual CPU meshes use small buckets to
+    keep XLA-CPU compile time inside the driver budget. ``progress`` prints
+    time-stamped phase lines to stderr."""
+    import sys
+    import time as _time
+
+    _t0 = _time.time()
+
+    def _p(msg):
+        if progress:
+            print(f"[mesh {_time.time() - _t0:6.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
     from ..engine.mapwrap import unify_files
     from ..io.fasta import read_sequences
     from ..io.mappings import MappingLine
@@ -380,9 +390,18 @@ def map_directly_sharded(params: Parameters, n_shard: int, n_data: int):
     assert len(prefixes) == len(queries)
 
     shards: List[SketchShard] = []
+    _p("building index")
     build_shards(params, 0, lambda s, n: shards.append(s))
     assert len(shards) == 1
-    engine = ShardedMapperEngine(shards[0], params, n_shard, n_data)
+    _p(f"index built ({shards[0].n_minimizers} minimizers); "
+       f"partitioning over shard={n_shard}, data={n_data}")
+    kw = {}
+    if read_len_buckets is not None:
+        kw["read_len_buckets"] = tuple(read_len_buckets)
+    if rows_per_device is not None:
+        kw["rows_per_device"] = int(rows_per_device)
+    engine = ShardedMapperEngine(shards[0], params, n_shard, n_data, **kw)
+    _p("engine ready (index stacked on mesh)")
 
     for prefix, query in zip(prefixes, queries):
         out_files = [f"{prefix}.shard{d}" for d in range(n_shard)]
@@ -410,6 +429,7 @@ def map_directly_sharded(params: Parameters, n_shard: int, n_data: int):
                         outs[d].write(ml.format() + "\n")
 
         pending = []
+        n_flushed = 0
         for name, seq in read_sequences(query):
             if (
                 len(seq) < params.window_size
@@ -420,9 +440,13 @@ def map_directly_sharded(params: Parameters, n_shard: int, n_data: int):
             pending.append((name, seq))
             if len(pending) >= engine.global_chunk:
                 flush(pending)
+                n_flushed += len(pending)
+                _p(f"mapped {n_flushed} reads")
                 pending = []
         if pending:
             flush(pending)
+            n_flushed += len(pending)
+            _p(f"mapped {n_flushed} reads (final chunk)")
         for f in outs:
             f.close()
 
@@ -430,3 +454,4 @@ def map_directly_sharded(params: Parameters, n_shard: int, n_data: int):
         local.query_sequences = [query]
         local.out_file_name = prefix
         unify_files(prefix, local, out_files, [query])
+        _p(f"unified {prefix}")

@@ -90,10 +90,6 @@ def stack_shards(parts: List[SketchShard]):
         "wpos": [],
         "hash_pos": [],
         "strand_pos": [],
-        "prev_w_same": [],
-        "chain_b": [],
-        "next_w_same": [],
-        "hrow_pos": [],
         "pos_tab": [],
         "contig_offsets": [],
         "freq_threshold": [],
@@ -109,7 +105,37 @@ def stack_shards(parts: List[SketchShard]):
     )
     steps_common = 1
     max_bucket = 0
+    # The bucket-key equalizer exponent must be common across shards; pick
+    # it by minimizing the max bucket across ALL shards at the common
+    # directory width (an exponent chosen from shard 0 alone could silently
+    # force the whole stack to bisect when a later shard's remixed buckets
+    # overflow at that exponent).
+    from ..ops.batch_map import LOOKUP_KMAX as _KMAX
+    from ..ops.batch_map import REMIX_LADDER, remix_keys_np
+
+    uniq_by_shard = [
+        np.unique(np.asarray(p.hash_sorted, np.uint32)) for p in parts
+    ]
+
+    def _pooled_max_bucket(e: int) -> int:
+        mb = 0
+        for uq in uniq_by_shard:
+            if not len(uq):
+                continue
+            kk = remix_keys_np(uq, e) >> np.uint32(32 - nb_bits)
+            edges = np.flatnonzero(np.diff(kk))
+            bounds = np.concatenate([[-1], edges, [len(kk) - 1]])
+            mb = max(mb, int(np.max(np.diff(bounds))))
+        return mb
+
     remix_common = None  # bucket-key equalizer must be common across shards
+    best_mb = None
+    for e in REMIX_LADDER:
+        mb_e = _pooled_max_bucket(e)
+        if best_mb is None or mb_e < best_mb:
+            remix_common, best_mb = e, mb_e
+        if mb_e <= _KMAX:
+            break
     for p in parts:
         hs_pad = np.full(m_max, np.uint32(0xFFFFFFFF), np.uint32)
         hs_pad[: p.n_minimizers] = p.hash_sorted
@@ -161,17 +187,16 @@ def stack_shards(parts: List[SketchShard]):
             np.asarray(p.wpos), np.asarray(p.hash_pos_order),
             np.asarray(p.contig_offsets),
         )
-        arrs["prev_w_same"].append(pad1(prev_w, m_max, np.int32(-(2**31))))
-        arrs["chain_b"].append(pad1(chain_b, m_max, np.int32(-2)))
-        arrs["next_w_same"].append(pad1(next_w, m_max, np.int32(2**31 - 1)))
         hrow = np.searchsorted(
             np.asarray(p.hash_sorted, np.uint32),
             np.asarray(p.hash_pos_order, np.uint32),
         ).astype(np.int32)
-        arrs["hrow_pos"].append(pad1(hrow, m_max, np.int32(2**30)))
         arrs["pos_tab"].append(np.stack([
-            arrs["wpos"][-1], arrs["hrow_pos"][-1], arrs["prev_w_same"][-1],
-            arrs["chain_b"][-1], arrs["next_w_same"][-1],
+            arrs["wpos"][-1],
+            pad1(hrow, m_max, np.int32(2**30)),
+            pad1(prev_w, m_max, np.int32(-(2**31))),
+            pad1(chain_b, m_max, np.int32(-2)),
+            pad1(next_w, m_max, np.int32(2**31 - 1)),
             arrs["strand_pos"][-1].astype(np.int32),
         ]))
         co = np.full(c_max + 1, p.n_minimizers, np.int32)
@@ -210,9 +235,8 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     ax_shard, ax_data = mesh.axis_names
 
     def local(hash_sorted, pair_byhash, wpos, hash_pos, strand_pos,
-              prev_w_same, chain_b, next_w_same, hrow_pos, pos_tab,
-              contig_offsets, uniq_hash, uniq_start, bucket_start, kv32,
-              dir_packed, freq_thr, reads_l, lens_l, minhits):
+              pos_tab, contig_offsets, uniq_hash, uniq_start, bucket_start,
+              kv32, dir_packed, freq_thr, reads_l, lens_l, minhits):
         # leading shard axis of size 1 inside the shard_map body
         shard = DeviceShard(
             hash_sorted=hash_sorted[0],
@@ -220,10 +244,6 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             wpos=wpos[0],
             hash_pos=hash_pos[0],
             strand_pos=strand_pos[0],
-            prev_w_same=prev_w_same[0],
-            chain_b=chain_b[0],
-            next_w_same=next_w_same[0],
-            hrow_pos=hrow_pos[0],
             pos_tab=pos_tab[0],
             contig_offsets=contig_offsets[0],
             uniq_hash=uniq_hash[0],
@@ -261,12 +281,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
-            P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
-            P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard), P(ax_shard),
-            P(ax_shard), P(ax_shard), P(ax_data), P(ax_data), P(),
-        ),
+        in_specs=(P(ax_shard),) * 13 + (P(ax_data), P(ax_data), P()),
         out_specs=(P(None, ax_data), P(None, ax_data), P(None, ax_data)),
         check_vma=False,
     )
@@ -275,8 +290,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     return jax.jit(fn)(
         stacked["hash_sorted"], stacked["pair_byhash"],
         stacked["wpos"], stacked["hash_pos"], stacked["strand_pos"],
-        stacked["prev_w_same"], stacked["chain_b"], stacked["next_w_same"],
-        stacked["hrow_pos"], stacked["pos_tab"],
+        stacked["pos_tab"],
         stacked["contig_offsets"], stacked["uniq_hash"], stacked["uniq_start"],
         stacked["bucket_start"], stacked["kv32"], stacked["dir_packed"],
         stacked["freq_threshold"].reshape(-1, 1),

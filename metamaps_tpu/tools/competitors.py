@@ -393,3 +393,127 @@ def megan_reads_to_reads2taxon(megan_reads: str, output_fn: str,
                 out.write(f"{read_id}\t0\n")
                 out_u.write(f"{read_id}\tUnclassified\n")
     return output_fn
+
+
+# --- classic Kraken-1 (SimulationsKraken.pm doKraken:598-631,
+# translateMetaMapToKraken:199-290, doKrakenOnExistingDB:336-404) -------------
+
+
+def build_kraken1_db(metamaps_db: str, out_dir: str, threads: int = 4):
+    """Convert a MetaMaps DB and drive classic kraken-build
+    (translateMetaMapToKraken, SimulationsKraken.pm:199-290): taxonomy dmp
+    files + DB.fa library -> kraken-build --build. The resulting DB/ dir
+    is what run_kraken1 consumes."""
+    from .convert import to_kraken
+
+    build = _require("kraken-build")
+    os.makedirs(out_dir, exist_ok=True)
+    conv = os.path.join(out_dir, "_converted")
+    to_kraken(metamaps_db, conv)
+    db = os.path.join(out_dir, "DB")
+    tax_dir = os.path.join(db, "taxonomy")
+    os.makedirs(tax_dir, exist_ok=True)
+    for dmp in ("names.dmp", "nodes.dmp", "merged.dmp"):
+        src = os.path.join(metamaps_db, "taxonomy", dmp)
+        if os.path.exists(src):
+            shutil.copy(src, tax_dir)
+    subprocess.run(
+        [build, "--db", db, "--add-to-library",
+         os.path.join(conv, "DB.fa")], check=True,
+    )
+    subprocess.run(
+        [build, "--db", db, "--build", "--threads", str(threads)],
+        check=True,
+    )
+    return db
+
+
+def run_kraken1(db_dir: str, reads: str, out_prefix: str, threads: int = 4):
+    """Classic kraken + kraken-report (doKrakenOnExistingDB,
+    SimulationsKraken.pm:336-404). The per-read output is the same
+    C/U<TAB>readID<TAB>taxonID shape as kraken2, so
+    kraken_reads_to_reads2taxon / kraken_to_composition apply unchanged."""
+    kraken = _require("kraken")
+    report_bin = _require("kraken-report")
+    out_reads = out_prefix + ".kraken.reads"
+    out_report = out_prefix + ".kraken.report"
+    subprocess.run(
+        [kraken, "--preload", "--db", db_dir, "--threads", str(threads),
+         "--output", out_reads, reads], check=True,
+    )
+    with open(out_report, "w") as rep:
+        subprocess.run(
+            [report_bin, "--db", db_dir, out_reads], check=True, stdout=rep,
+        )
+    return out_reads, out_report
+
+
+# --- MetaPalette (SimulationsMetaPalette.pm:1-156) ---------------------------
+
+
+def run_metapalette(install_dir: str, reads_fastq: str, out_dir: str,
+                    jellyfish_bin: str = "jellyfish", threads: int = 16):
+    """Drive MetaPalette's Classify.py against its bacteria DB
+    (doMetaPalette, SimulationsMetaPalette.pm:11-78): quality offset from
+    the reads' first-quartile score, sensitive k-mer mode. Returns the
+    .profile path."""
+    from .reads_util import first_quartile_quality
+
+    classify = os.path.join(install_dir, "src", "Python", "Classify.py")
+    bacteria_db = os.path.join(install_dir, "Bacteria")
+    query_per_seq = os.path.join(
+        install_dir, "src", "QueryPerSeq", "query_per_sequence"
+    )
+    for path in (classify, bacteria_db, query_per_seq):
+        if not os.path.exists(path):
+            raise CompetitorNotInstalled(
+                f"MetaPalette component missing: {path}"
+            )
+    os.makedirs(out_dir, exist_ok=True)
+    q = first_quartile_quality(reads_fastq)
+    subprocess.run(
+        ["python", classify, "-d", bacteria_db, "-o", out_dir,
+         "-i", os.path.abspath(reads_fastq), "-Q", str(q),
+         "-k", "sensitive", "-j", jellyfish_bin, "-q", query_per_seq,
+         "-t", str(threads), "-n"],
+        check=True, cwd=os.path.dirname(classify),
+    )
+    return os.path.join(out_dir, os.path.basename(reads_fastq) + ".profile")
+
+
+def metapalette_to_composition(profile_fn: str, taxonomy, output_fn: str):
+    """MetaPalette .profile -> compatible composition table
+    (create_compatible_file_from_metapalette,
+    SimulationsMetaPalette.pm:80-155): 5-field rows (taxonID, level, .., ..,
+    percentage); merged IDs follow merged.dmp; percentages /100 accumulate
+    per REAL rank; each level's missing mass becomes Unclassified."""
+    s_by_level = {}
+    with open(profile_fn) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line[0] in "#@":
+                continue
+            fields = line.split("\t")
+            assert len(fields) == 5, f"weird MetaPalette line: {line!r}"
+            taxon, level, _, _, pct = fields
+            current = taxonomy.find_current_node_id(taxon)
+            real_rank = taxonomy.get_node(current).rank
+            if real_rank and real_rank != "no rank":
+                d = s_by_level.setdefault(real_rank, {})
+                d[current] = d.get(current, 0.0) + float(pct) / 100.0
+    with open(output_fn, "w") as out:
+        out.write(
+            "AnalysisLevel\ttaxonID\tName\tAbsolute\tPotFrequency\n"
+        )
+        for level in sorted(s_by_level):
+            total = sum(s_by_level[level].values())
+            assert 0.0 <= total <= 1.0 + 1e-9
+            rows = dict(s_by_level[level])
+            rows["Unclassified"] = max(0.0, 1.0 - total)
+            for taxon in sorted(rows):
+                if taxon == "Unclassified":
+                    name, tid = "Unclassified", "0"
+                else:
+                    name, tid = taxonomy.get_node(taxon).scientific_name, taxon
+                out.write(f"{level}\t{tid}\t{name}\t0\t{rows[taxon]}\n")
+    return output_fn

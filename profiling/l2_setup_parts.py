@@ -137,9 +137,9 @@ def main():
             occ_w = jnp.where(occ_v, slice_one(dev.wpos, I32_MAX), I32_MAX)
             occ_h = jnp.where(occ_v, slice_one(dev.hash_pos, U32_MAX),
                               U32_MAX)
-            prev_w = slice_one(dev.prev_w_same, I32_MIN)
-            chb = slice_one(dev.chain_b, np.int32(-2))
-            next_ws = slice_one(dev.next_w_same, I32_MAX)
+            prev_w = slice_one(dev.pos_tab[2], I32_MIN)
+            chb = slice_one(dev.pos_tab[3], np.int32(-2))
+            next_ws = slice_one(dev.pos_tab[4], I32_MAX)
             return occ_w, occ_h, prev_w, chb, next_ws
         return jax.vmap(one)(beg0s, n_occs)
 
@@ -183,7 +183,7 @@ def main():
             start2 = jnp.minimum(beg0, M - R)
             shift = beg0 - start2
             hr = jnp.roll(
-                jax.lax.dynamic_slice(dev.hrow_pos, (start2,), (R,)), -shift)
+                jax.lax.dynamic_slice(dev.pos_tab[1], (start2,), (R,)), -shift)
             v = 2 * hr[:, None] + 1
             qrank = jnp.sum((q[None, :SC] < v).astype(jnp.int32), axis=1)
             in_q = (q[None, :SC] == v).any(axis=1)
