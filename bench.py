@@ -27,10 +27,33 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 LARGE_BASES = int(os.environ.get("METAMAPS_TPU_BENCH_BASES", 1_000_000_000))
 LARGE_SEED = 20260820
 # bump whenever DeviceShard.host_tables layout changes (stale .bench_cache
-# entries are rebuilt instead of silently loading an old table format);
-# version 2 == the remix/block9p layout (detected by 'remix_e' presence in
-# pre-marker caches)
-CACHE_FORMAT = 2
+# entries are rebuilt — or migrated when cheap — instead of silently
+# loading an old table format); version 2 == the remix/block9p layout
+# (detected by 'remix_e' presence in pre-marker caches); version 3 ==
+# 5-row pos_tab with packed hrow|strand and no standalone chain planes
+CACHE_FORMAT = 3
+
+
+def _migrate_cache_v2_to_v3(tab_fn, z):
+    """v2 -> v3 without the 15-min rebuild: pack strand into pos_tab's hrow
+    row, drop the dead standalone chain planes, stamp the version."""
+    from metamaps_tpu.ops.batch_map import pack_hrow_strand
+
+    print("# migrating bench cache v2 -> v3 (pos_tab pack)", flush=True)
+    tables = {k: z[k] for k in z.files if k not in (
+        "prev_w_same", "chain_b", "next_w_same", "hrow_pos",
+        "format_version", "allow_pickle")}
+    old = tables["pos_tab"]
+    assert old.shape[0] == 6
+    tables["pos_tab"] = np.concatenate([
+        old[:1],
+        pack_hrow_strand(old[1], old[5])[None],
+        old[2:5],
+    ])
+    np.savez(tab_fn + ".tmp.npz", **tables,
+             format_version=np.int64(CACHE_FORMAT))
+    os.replace(tab_fn + ".tmp.npz", tab_fn)
+    return np.load(tab_fn, allow_pickle=True)
 
 
 def build_db_quick(rng, n_genomes=8, genome_len=2_000_000):
@@ -120,8 +143,11 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
         ver = (
             int(z["format_version"])
             if "format_version" in z.files
-            else (CACHE_FORMAT if "remix_e" in z.files else 0)
+            else (2 if "remix_e" in z.files else 0)
         )
+        if ver == 2:
+            z = _migrate_cache_v2_to_v3(tab_fn, z)
+            ver = CACHE_FORMAT
         if ver == CACHE_FORMAT:
             tables = {k: z[k] for k in z.files if k not in (
                 "contig_names", "contig_lengths", "format_version",
@@ -247,7 +273,7 @@ def _pad_tables_common(tables_list, verbose=True):
         return out
 
     pos_fill = np.array(
-        [i32max, i32max // 4, -(2**31), -2, i32max, 0], np.int32
+        [i32max, i32max // 4, -(2**31), -2, i32max], np.int32
     )
     padded = []
     for t in tables_list:
@@ -257,7 +283,7 @@ def _pad_tables_common(tables_list, verbose=True):
         p["wpos"] = pad1(t["wpos"], m_max, i32max)
         p["hash_pos"] = pad1(t["hash_pos"], m_max, np.uint32(0xFFFFFFFF))
         p["strand_pos"] = pad1(t["strand_pos"], m_max, np.int8(1))
-        pt = np.empty((6, m_max), np.int32)
+        pt = np.empty((5, m_max), np.int32)
         m = t["pos_tab"].shape[1]
         pt[:, :m] = t["pos_tab"]
         pt[:, m:] = pos_fill[:, None]

@@ -639,6 +639,7 @@ class JaxMapperEngine:
                             self.device_shard,
                             hash_pos=jnp.asarray(self.shard.hash_pos_order),
                             strand_pos=jnp.asarray(self.shard.strand),
+                            hash_sorted=jnp.asarray(self.shard.hash_sorted),
                         )
                         args = (self.device_shard,) + args[1:]
                     out = batch_l2_gather(cfg_r, *args)

@@ -364,6 +364,22 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+HROW_STRAND_BIT = 30  # pos_tab row 1 packs (hrow | strand_plus << 30)
+HROW_MASK = (1 << HROW_STRAND_BIT) - 1
+HROW_PAD = np.int32(2**31 - 1) // 4  # decodes to a huge hrow, strand -1
+
+
+def pack_hrow_strand(hrow: np.ndarray, strand: np.ndarray) -> np.ndarray:
+    """Pack the per-entry strand sign into hrow's spare top bits (hrow <=
+    M <= 2^28 < 2^30): one pos_tab row instead of two. Decode on device:
+    hrow = v & HROW_MASK, strand = (v >> 30 & 1) * 2 - 1."""
+    assert int(hrow.max(initial=0)) < (1 << HROW_STRAND_BIT)
+    return (
+        hrow.astype(np.int32)
+        | ((strand.astype(np.int32) > 0).astype(np.int32) << HROW_STRAND_BIT)
+    )
+
+
 def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
                        contig_offsets: np.ndarray):
     """Host-side same-hash chain links over the position-sorted index.
@@ -451,7 +467,11 @@ class DeviceShard:
       bucket <= 8 (or > 2^28 unique hashes), ``lookup_mode == 'bisect'``
       falls back to per-bucket binary search over uniq_hash/uniq_start."""
 
-    hash_sorted: jnp.ndarray  # [M] uint32
+    hash_sorted: jnp.ndarray  # [M] uint32. On the fused accelerator path
+    # (block-mode lookup + pallas L2 with the lookup's q_key) this plane is
+    # never gathered — it only backs the q_key=None searchsorted fallback
+    # and bisect-mode qkey derivation — so drop_cpu_planes uploads a
+    # zero-size dummy for block-mode shards
     pair_byhash: jnp.ndarray  # [M, 2] int32: (seqid, wpos) in hash order
     wpos: jnp.ndarray  # [M] int32 (position order) — standalone because the
     # L1/L2 window bisections are dependent-gather loops whose operand must
@@ -463,11 +483,11 @@ class DeviceShard:
     # accelerator uploads may pass a zero-size dummy (from_tables
     # drop_cpu_planes=True)
     strand_pos: jnp.ndarray  # [M] int8 (position order; CPU-only, see above)
-    pos_tab: jnp.ndarray  # [6, M] int32: rows (wpos, hrow_pos, prev_w_same,
-    # chain_b, next_w_same, strand) — the position-order tables the L2
+    pos_tab: jnp.ndarray  # [5, M] int32: rows (wpos, hrow|strand<<30,
+    # prev_w_same, chain_b, next_w_same) — the position-order tables the L2
     # candidate setup consumes, packed so one vmapped dynamic_slice fetches
-    # a candidate's whole occurrence window (six 1-D slices would each pay
-    # the unaligned-window gather cost)
+    # a candidate's whole occurrence window (separate 1-D slices would each
+    # pay the unaligned-window gather cost); see pack_hrow_strand
     contig_offsets: jnp.ndarray  # [n_contigs+1] int32
     uniq_hash: jnp.ndarray  # [U] uint32 (sorted; dummy in block8 mode)
     uniq_start: jnp.ndarray  # [U+1] int32 (CSR; dummy in block8 mode)
@@ -507,8 +527,9 @@ class DeviceShard:
             np.asarray(shard.hash_pos_order, np.uint32),
         ).astype(np.int32)
         pos_tab = np.stack([
-            np.asarray(shard.wpos, np.int32), hrow, prev_w, chain_b, next_w,
-            np.asarray(shard.strand, np.int32),
+            np.asarray(shard.wpos, np.int32),
+            pack_hrow_strand(hrow, np.asarray(shard.strand)),
+            prev_w, chain_b, next_w,
         ])
         return {
             "hash_sorted": np.asarray(shard.hash_sorted),
@@ -550,6 +571,10 @@ class DeviceShard:
         if drop_cpu_planes:
             arrays["hash_pos"] = jnp.zeros(0, jnp.uint32)
             arrays["strand_pos"] = jnp.zeros(0, jnp.int8)
+            if str(t["lookup_mode"]) != "bisect":
+                # block-mode lookups never touch hash_sorted; the pallas L2
+                # gets row-space keys from the lookup stage (q_key)
+                arrays["hash_sorted"] = jnp.zeros(0, jnp.uint32)
         return cls(
             **arrays,
             freq_threshold=int(t["freq_threshold"]),
@@ -1259,16 +1284,16 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
 
         M = shard.wpos.shape[0]
 
-        # ONE packed [6, R] slice + realignment roll fetches the whole
-        # occurrence window (wpos, hrow, prev_w, chain_b, next_w, strand)
+        # ONE packed [5, R] slice + realignment roll fetches the whole
+        # occurrence window (wpos, hrow|strand, prev_w, chain_b, next_w)
         tab = shard.pos_tab
         if M < R:
             pad = jnp.broadcast_to(
                 jnp.array(
-                    [I32_MAX, I32_MAX // 4, I32_MIN, -2, I32_MAX, 0],
+                    [I32_MAX, HROW_PAD, I32_MIN, -2, I32_MAX],
                     jnp.int32,
                 )[:, None],
-                (6, R - M),
+                (5, R - M),
             )
             tab = jnp.concatenate([tab, pad], axis=1)
             start2 = jnp.minimum(beg0, 0)
@@ -1276,14 +1301,14 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
             start2 = jnp.minimum(beg0, M - R)
         shift = beg0 - start2
         sl = jnp.roll(
-            jax.lax.dynamic_slice(tab, (0, start2), (6, R)), -shift, axis=1
+            jax.lax.dynamic_slice(tab, (0, start2), (5, R)), -shift, axis=1
         )
         occ_w = jnp.where(occ_v, sl[0], I32_MAX)
-        occ_hrow = sl[1]
+        occ_hrow = sl[1] & HROW_MASK
+        occ_strand = ((sl[1] >> HROW_STRAND_BIT) & 1) * 2 - 1
         prev_w = sl[2]
         chb = sl[3]
         next_ws = sl[4]
-        occ_strand = sl[5]
 
         empty = n_occ_c <= 0
         p0 = jnp.where(empty, 0, occ_w[0])
@@ -1568,6 +1593,13 @@ def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
     """
     if cfg.l2_path == "pallas":
         if q_key is None:
+            if (shard.hash_sorted.shape[0] == 0
+                    and shard.wpos.shape[0] > 0):
+                raise ValueError(
+                    "q_key=None pallas L2 needs hash_sorted; this shard "
+                    "was uploaded with drop_cpu_planes=True — pass the "
+                    "lookup stage's q_key instead"
+                )
             arow = jnp.searchsorted(
                 shard.hash_sorted, q_hash, side="left"
             ).astype(jnp.int32)

@@ -187,17 +187,19 @@ def stack_shards(parts: List[SketchShard]):
             np.asarray(p.wpos), np.asarray(p.hash_pos_order),
             np.asarray(p.contig_offsets),
         )
+        from ..ops.batch_map import HROW_PAD, pack_hrow_strand
+
         hrow = np.searchsorted(
             np.asarray(p.hash_sorted, np.uint32),
             np.asarray(p.hash_pos_order, np.uint32),
         ).astype(np.int32)
         arrs["pos_tab"].append(np.stack([
             arrs["wpos"][-1],
-            pad1(hrow, m_max, np.int32(2**30)),
+            pad1(pack_hrow_strand(hrow, np.asarray(p.strand)), m_max,
+                 HROW_PAD),
             pad1(prev_w, m_max, np.int32(-(2**31))),
             pad1(chain_b, m_max, np.int32(-2)),
             pad1(next_w, m_max, np.int32(2**31 - 1)),
-            arrs["strand_pos"][-1].astype(np.int32),
         ]))
         co = np.full(c_max + 1, p.n_minimizers, np.int32)
         co[: len(p.contig_offsets)] = p.contig_offsets.astype(np.int32)

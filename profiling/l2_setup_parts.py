@@ -182,8 +182,10 @@ def main():
         def one(beg0, q):
             start2 = jnp.minimum(beg0, M - R)
             shift = beg0 - start2
+            from metamaps_tpu.ops.batch_map import HROW_MASK
             hr = jnp.roll(
-                jax.lax.dynamic_slice(dev.pos_tab[1], (start2,), (R,)), -shift)
+                jax.lax.dynamic_slice(dev.pos_tab[1], (start2,), (R,)),
+                -shift) & HROW_MASK
             v = 2 * hr[:, None] + 1
             qrank = jnp.sum((q[None, :SC] < v).astype(jnp.int32), axis=1)
             in_q = (q[None, :SC] == v).any(axis=1)
