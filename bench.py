@@ -412,7 +412,73 @@ def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
     total_s = sum(map_s) + sum(swap_s) + detail["unify_s"]
     detail["reads_per_s_map"] = round(len(reads) / sum(map_s), 2)
     detail["reads_per_s_amortized"] = round(len(reads) / total_s, 2)
-    return detail, merged_lines
+    return detail, merged_lines, shards
+
+
+def em_bench_realdist(merged_lines, shards, min_lines=5_000_000):
+    """EM iteration time on a table with the REAL bench mapping
+    distribution (fEM.h:501-661 hot loop at production scale): the merged
+    mapping lines go through the production parser (native columnar +
+    taxonInfo resolution) into a MappingTable, which is then read-block
+    tiled to >= min_lines — distinct read ids, identical per-read
+    raggedness / mapQ / identity / taxon mix — and the jitted device EM
+    round (the >=5M-line auto backend) is timed."""
+    import tempfile
+
+    import jax
+
+    from metamaps_tpu.engine.em import (
+        MappingTable,
+        load_mapping_table,
+        make_em_iterate_jax,
+    )
+    from metamaps_tpu.taxonomy import extract_taxon_id
+
+    taxon_info = {}
+    for sh in shards:
+        for name, length in zip(sh.contig_names, sh.contig_lengths):
+            t = extract_taxon_id(name)
+            taxon_info.setdefault(t, {})[name] = int(length)
+    with tempfile.NamedTemporaryFile("w", suffix=".mappings",
+                                     delete=False) as f:
+        f.write("\n".join(merged_lines) + "\n")
+        fn = f.name
+    try:
+        base = load_mapping_table(fn, taxon_info)
+    finally:
+        os.unlink(fn)
+    n0 = len(base.mapq)
+    r0 = len(base.read_ids)
+    if n0 == 0:
+        return None
+    k = max(1, -(-min_lines // n0))
+    tiled = MappingTable(
+        lines=[], contig_of_line=[],
+        read_ids=["r"] * (r0 * k),
+        taxon_list=base.taxon_list,
+        read_of_line=np.concatenate(
+            [base.read_of_line + j * r0 for j in range(k)]),
+        taxon_of_line=np.tile(base.taxon_of_line, k),
+        mapq=np.tile(base.mapq, k),
+        inv_locations=np.tile(base.inv_locations, k),
+        identity=np.tile(base.identity, k),
+        start=np.tile(base.start, k), stop=np.tile(base.stop, k),
+        read_len=np.tile(base.read_len, k),
+    )
+    step = make_em_iterate_jax(tiled)
+    f0 = np.full(len(base.taxon_list), 1.0 / len(base.taxon_list),
+                 np.float32)
+    jax.block_until_ready(step(f0))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = step(f0)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / 10 * 1000
+    return {
+        "em_iter_ms_realdist": round(ms, 2),
+        "em_lines_realdist": n0 * k,
+        "em_taxa_realdist": len(base.taxon_list),
+    }
 
 
 def run_mapping_bench(engine, reads, warm=2):
@@ -464,9 +530,12 @@ def main():
                         percentage_identity=80.0, report_all=True)
 
     if multishard:
-        detail, merged_lines = run_multishard_bench(n_shards)
+        detail, merged_lines, ms_shards = run_multishard_bench(n_shards)
         em_ms = em_bench(rng)
         detail["em_iter_ms_1Mlines"] = round(em_ms, 2)
+        em_real = em_bench_realdist(merged_lines, ms_shards)
+        if em_real:
+            detail.update(em_real)
         print(json.dumps({
             "metric": "mapping_throughput",
             "value": detail["reads_per_s_map"],

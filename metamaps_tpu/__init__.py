@@ -8,7 +8,8 @@ DiltheyLab/MetaMaps (reference layout documented in SURVEY.md):
   semantics — see ``metamaps_tpu.ops.murmur3`` / ``metamaps_tpu.ops.winnow``)
 - two-stage (L1/L2) MinHash-Jaccard read mapping against an HBM-resident
   sorted-array minimizer index (``metamaps_tpu.ops``/``metamaps_tpu.engine``)
-- binomial mapping-quality posterior model (``metamaps_tpu.ops.mapq``)
+- binomial mapping-quality posterior model
+  (``metamaps_tpu.engine.mapwrap.add_mapping_qualities`` + ``metamaps_tpu.stats``)
 - EM sample-composition estimation with per-read taxonomic assignment
   (``metamaps_tpu.engine.em``)
 - novel-species ("U") detection, DB construction toolchain, simulation and

@@ -281,6 +281,11 @@ def main(argv=None):
                       metavar="NAME=r2t[:dist]",
                       help="results files per method; repeatable")
     p_ee.add_argument("--output", required=True, help="output table prefix")
+    p_ee.add_argument("--plots", action="store_true",
+                      help="also produce the paperPlots figure set "
+                      "(readsPanel/readAccuracy/abundanceXY/composition/"
+                      "unknownFrequency PDFs)")
+    p_ee.add_argument("--plotLevel", default="species")
 
     p_pl = sub.add_parser("plotIdentities", help="per-genome identity/coverage panels (PDF)")
     p_pl.add_argument("--mappings", required=True)
@@ -370,6 +375,24 @@ def main(argv=None):
             f"DB-mappable ancestors); wrote {args.output}.readLevel.tsv, "
             f"{args.output}.distribution.tsv"
         )
+        if args.plots:
+            from .sim.external_eval import read_lengths_from_fastx
+            from .sim.validation import parse_wimp
+            from .tools.paper_plots import paper_plot_suite
+
+            dists = {
+                name: parse_wimp(mf.distribution)
+                for name, mf in methods.items() if mf.distribution
+            }
+            lens = (
+                {"reads": list(read_lengths_from_fastx(args.fastq).values())}
+                if args.fastq else None
+            )
+            for fn in paper_plot_suite(
+                result, result["truth_distribution"], dists, args.output,
+                read_lengths=lens, level=args.plotLevel,
+            ):
+                print(fn)
         return 0
 
     if args.command == "downloadRefSeq":

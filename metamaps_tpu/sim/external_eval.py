@@ -120,7 +120,8 @@ def evaluate_external(
             entry["distribution"] = dist
         per_method[name] = entry
 
-    result = {"meta": meta, "methods": per_method}
+    result = {"meta": meta, "methods": per_method,
+              "truth_distribution": truth_dist}
     if out_prefix:
         write_external_tables(result, out_prefix)
     return result

@@ -121,6 +121,23 @@ def test_evaluate_external_cli(setup):
     assert "distonly\t" in text
 
 
+def test_paper_plot_suite_cli(setup):
+    root, db, truth, good, bad, wimp, fq = setup
+    rc = cli_main([
+        "evaluateExternal", "--DB", db, "--truth", truth,
+        "--fastq", fq,
+        "--method", f"MetaMaps={good}:{wimp}",
+        "--method", f"Kraken2={bad}:{wimp}",
+        "--output", str(root / "ploteval"), "--plots",
+    ])
+    assert rc == 0
+    for suffix in (".readsPanel.pdf", ".readAccuracy.pdf",
+                   ".abundanceXY.pdf", ".composition.pdf",
+                   ".unknownFrequency.pdf", ".readLengths.pdf"):
+        fn = root / ("ploteval" + suffix)
+        assert fn.exists() and fn.stat().st_size > 800, suffix
+
+
 def test_metapalette_converter(setup, tmp_path):
     from metamaps_tpu.tools.competitors import metapalette_to_composition
 
