@@ -237,7 +237,7 @@ def em_bench(rng):
     t0 = time.perf_counter()
     for _ in range(10):
         out_em = step(f)
-    jax.block_until_ready(out_em)
+    jax.device_get(out_em[1])  # true completion, not enqueue (README rule 1)
     return (time.perf_counter() - t0) / 10 * 1000
 
 
@@ -362,7 +362,25 @@ def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
         engine = JaxMapperEngine(shards[i], params, read_len_buckets=(8192,),
                                  device_shard=dshard, hits_max=16384)
         if i == 0:
-            engine.map_reads(reads[:256])  # compile once; reused by i>0
+            # TWO full warm passes: the first is host-routed and seeds the
+            # adaptive route plan, the second compiles the device-routed
+            # kernels that plan selects — so every shard's timed pass
+            # (incl. shard 0's) measures mapping, not compilation
+            engine.map_reads(reads)
+            engine.map_reads(reads)
+            warm_state = (engine._configs, engine._route_plan,
+                          engine._route_rates, engine._spec_tier)
+        else:
+            # inherit the warmed route plans/configs: identical compiled
+            # shapes across the swap loop, so later shards route straight
+            # to already-compiled kernels (a fresh engine would re-seed its
+            # plan and could compile new L2 tiers mid-timing)
+            (engine._configs, engine._route_plan,
+             engine._route_rates, engine._spec_tier) = (
+                dict(warm_state[0]), dict(warm_state[1]),
+                {k: dict(v) for k, v in warm_state[2].items()},
+                dict(warm_state[3]),
+            )
         t0 = time.perf_counter()
         all_results.append(engine.map_reads(reads))
         map_s.append(round(time.perf_counter() - t0, 3))
@@ -374,6 +392,9 @@ def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
 
     # the unifyFiles merge: per-read candidates concatenated in shard
     # order, report filter + mapping qualities over the union
+    if verbose:
+        print("# unify: merging per-read candidates", flush=True)
+    del padded  # free the padded host copies before the EM phases
     t0 = time.perf_counter()
     merged_lines = []
     n_mapped = 0
@@ -447,6 +468,7 @@ def em_bench_realdist(merged_lines, shards, min_lines=5_000_000):
         base = load_mapping_table(fn, taxon_info)
     finally:
         os.unlink(fn)
+    print("# em_realdist: table parsed", flush=True)
     n0 = len(base.mapq)
     r0 = len(base.read_ids)
     if n0 == 0:
@@ -465,14 +487,18 @@ def em_bench_realdist(merged_lines, shards, min_lines=5_000_000):
         start=np.tile(base.start, k), stop=np.tile(base.stop, k),
         read_len=np.tile(base.read_len, k),
     )
+    print(f"# em_realdist: tiled to {n0 * k} lines; compiling", flush=True)
     step = make_em_iterate_jax(tiled)
     f0 = np.full(len(base.taxon_list), 1.0 / len(base.taxon_list),
                  np.float32)
     jax.block_until_ready(step(f0))
+    print("# em_realdist: compiled; timing", flush=True)
     t0 = time.perf_counter()
     for _ in range(10):
         out = step(f0)
-    jax.block_until_ready(out)
+    # a real device->host fetch: on the tunnel, block_until_ready alone
+    # can report enqueue completion (profiling/README.md rule 1)
+    jax.device_get(out[1])
     ms = (time.perf_counter() - t0) / 10 * 1000
     return {
         "em_iter_ms_realdist": round(ms, 2),
@@ -509,11 +535,31 @@ def _multishard_cache_ready(n_shards, n_reads=1536):
 
 
 def main():
+    import jax
+
+    # persistent compilation cache: the engine's routed kernels + the EM
+    # scan compile in ~2-5 min through the tunnel on first use; cached
+    # entries load in ms on later runs (cache dir survives across runs)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     from metamaps_tpu.engine.mapper_jax import JaxMapperEngine
     from metamaps_tpu.params import Parameters
 
     quick = "--quick" in sys.argv
-    n_shards = int(os.environ.get("METAMAPS_TPU_BENCH_SHARDS", "4"))
+    # default 2 temporal shards (2 Gbp): the per-shard device-table swap
+    # runs 30-500 s through the shared tunnel, so 4 shards can exceed the
+    # driver's bench window; `--shards 4` (4 Gbp) is exercised and recorded
+    # in BENCH_multishard.json / STATUS.md
+    n_shards = int(os.environ.get("METAMAPS_TPU_BENCH_SHARDS", "2"))
     if "--shards" in sys.argv:
         n_shards = int(sys.argv[sys.argv.index("--shards") + 1])
     if "--prebuild-shards" in sys.argv:
@@ -531,8 +577,10 @@ def main():
 
     if multishard:
         detail, merged_lines, ms_shards = run_multishard_bench(n_shards)
+        print("# em_bench (synthetic 1M lines)", flush=True)
         em_ms = em_bench(rng)
         detail["em_iter_ms_1Mlines"] = round(em_ms, 2)
+        print("# em_bench_realdist (tiled real mapping table)", flush=True)
         em_real = em_bench_realdist(merged_lines, ms_shards)
         if em_real:
             detail.update(em_real)

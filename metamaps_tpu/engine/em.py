@@ -280,6 +280,15 @@ def em_iterate(table: MappingTable, f: np.ndarray) -> Tuple[np.ndarray, float]:
 EM_SCAN_BLOCK = 8192
 
 
+EM_SCAN_CHUNK_ROWS = 128
+#: rows of EM_SCAN_BLOCK per lax.scan step in the device EM round. The
+#: compiled body is a fixed [<=this, EM_SCAN_BLOCK] shape (1M lines at the
+#: defaults) regardless of mapping-file size — measured on the TPU, the
+#: monolithic blocked formulation's XLA compile time still exploded
+#: superlinearly in the ROW count (>20 min at 5M lines vs ~80 s at 1M), so
+#: the table is processed as a runtime lax.scan over fixed-shape chunks.
+
+
 def make_em_iterate_jax(table: MappingTable, dtype=None):
     """Device EM round: the same segment-sum formulation as
     :func:`em_iterate`, jitted over flat device-resident arrays. Returns a
@@ -288,36 +297,49 @@ def make_em_iterate_jax(table: MappingTable, dtype=None):
 
     read_of_line is nondecreasing (lines grouped per read), so per-read
     sums and their spread back to lines are BLOCKED segmented scans:
-    within-block scans over a static 8k axis + a cross-block carry scan —
-    scatter/gather-free and with compile time independent of the mapping
-    file size (see EM_SCAN_BLOCK). Per-read accumulation never differences
-    large prefix sums, so float32 precision matches the flat scan."""
+    within-block scans over a static 8k axis + cross-block carries. The
+    table is processed as a lax.scan over fixed-shape
+    [EM_SCAN_CHUNK_ROWS, EM_SCAN_BLOCK] chunks with (read id, value)
+    carries across chunk boundaries, so XLA compile time is genuinely
+    independent of the mapping-file size (see EM_SCAN_CHUNK_ROWS).
+    Per-read accumulation never differences large prefix sums, so float32
+    precision matches the flat scan."""
     import jax
     import jax.numpy as jnp
 
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     n_tax = len(table.taxon_list)
-    tax = jnp.asarray(table.taxon_of_line)
     rid_h = table.read_of_line.astype(np.int32)
     L = len(rid_h)
     BS = EM_SCAN_BLOCK
     Lb = max(1, (L + BS - 1) // BS)
-    Lp = Lb * BS
+    CR = min(EM_SCAN_CHUNK_ROWS, Lb)
+    S = (Lb + CR - 1) // CR
+    Lp = S * CR * BS
     rid_p = np.full(Lp, -2, np.int32)  # padding = its own segment
     rid_p[:L] = rid_h
-    rid2d = jnp.asarray(rid_p.reshape(Lb, BS))
     is_last = np.zeros(Lp, bool)
     is_last[L - 1] = True
     if L > 1:
         is_last[: L - 1] = rid_h[1:] != rid_h[:-1]
-    is_last2d = jnp.asarray(is_last.reshape(Lb, BS))
     coef_p = np.zeros(Lp)
     coef_p[:L] = table.inv_locations * table.mapq
-    coef2d = jnp.asarray(coef_p.astype(dtype).reshape(Lb, BS))
     tax_p = np.zeros(Lp, np.int32)
     tax_p[:L] = table.taxon_of_line
-    tax2d = jnp.asarray(tax_p.reshape(Lb, BS))
+
+    # forward chunk stacks [S, CR, BS] + reversed-line-order stacks for the
+    # backward spread pass (the reversal bakes into the host layout so the
+    # compiled body never materializes a full-size reverse)
+    rid3 = jnp.asarray(rid_p.reshape(S, CR, BS))
+    il3 = jnp.asarray(is_last.reshape(S, CR, BS))
+    coef3 = jnp.asarray(coef_p.astype(dtype).reshape(S, CR, BS))
+    tax3 = jnp.asarray(tax_p.reshape(S, CR, BS))
+    rid3r = jnp.asarray(np.ascontiguousarray(rid_p[::-1]).reshape(S, CR, BS))
+    coef3r = jnp.asarray(
+        np.ascontiguousarray(coef_p[::-1]).astype(dtype).reshape(S, CR, BS)
+    )
+    tax3r = jnp.asarray(np.ascontiguousarray(tax_p[::-1]).reshape(S, CR, BS))
 
     def comb_sum(a, b):
         ra, va = a
@@ -329,17 +351,33 @@ def make_em_iterate_jax(table: MappingTable, dtype=None):
         rb, vb = b
         return rb, jnp.where(ra == rb, va, vb)
 
-    def blocked_scan(r2d, x2d, comb, correct):
-        """Inclusive segmented scan of (r2d, x2d) along the flattened line
-        order: within-block scan + exclusive cross-block carry, applied to
-        the rows whose leading segment continues from earlier blocks."""
+    def chunk_scan(r2d, x2d, comb, correct, cr_in, cx_in, first_semantics):
+        """Inclusive segmented scan of one [CR, BS] chunk in flattened line
+        order, continuing the segment carried in as (cr_in, cx_in).
+        Returns (scanned chunk, carry-out rid, carry-out value)."""
         rw, xw = jax.lax.associative_scan(comb, (r2d, x2d), axis=1)
         r_last, x_last = rw[:, -1], xw[:, -1]
         rs, xs = jax.lax.associative_scan(comb, (r_last, x_last), axis=0)
-        carry_r = jnp.concatenate([jnp.full(1, -9, rs.dtype), rs[:-1]])
-        carry_x = jnp.concatenate([jnp.zeros(1, xs.dtype), xs[:-1]])
-        hit = r2d == carry_r[:, None]
-        return correct(xw, hit, carry_x[:, None])
+        # per-row carry = summary of all earlier rows in the chunk,
+        # extended by the incoming chunk carry when the leading segment
+        # continues across the chunk boundary
+        rs_prev = jnp.concatenate([cr_in[None], rs[:-1]])
+        xs_prev = jnp.concatenate([cx_in[None], xs[:-1]])
+        cont = rs_prev == cr_in
+        row0 = jnp.arange(rs_prev.shape[0]) == 0
+        if first_semantics:
+            # comb_first: the earlier (incoming) value wins across the
+            # boundary
+            cx_rows = jnp.where(row0 | cont, cx_in, xs_prev)
+            cx_out = jnp.where(rs[-1] == cr_in, cx_in, xs[-1])
+        else:
+            cx_rows = jnp.where(row0, cx_in,
+                                xs_prev + jnp.where(cont, cx_in,
+                                                    jnp.array(0, xs.dtype)))
+            cx_out = xs[-1] + jnp.where(rs[-1] == cr_in, cx_in,
+                                        jnp.array(0, xs.dtype))
+        hit = r2d == rs_prev[:, None]
+        return correct(xw, hit, cx_rows[:, None]), rs[-1], cx_out
 
     add_correct = lambda xw, hit, cx: xw + jnp.where(hit, cx, 0)
     rep_correct = lambda xw, hit, cx: jnp.where(hit, cx, xw)
@@ -347,18 +385,45 @@ def make_em_iterate_jax(table: MappingTable, dtype=None):
     @jax.jit
     def step(f_in):
         f = jnp.asarray(f_in).astype(dtype)
-        l = f[tax2d] * coef2d
-        cs = blocked_scan(rid2d, l, comb_sum, add_correct)
-        ll = jnp.sum(jnp.where(is_last2d, jnp.log(cs), dtype(0)))
-        # per-line read total = the read's last prefix value, spread
-        # backwards (reversed segmented copy-first scan, also blocked)
-        def rev(a):
-            return a.reshape(-1)[::-1].reshape(Lb, BS)
 
-        tot = rev(blocked_scan(rev(rid2d), rev(cs), comb_first, rep_correct))
-        p = l / jnp.where(tot == 0, dtype(1), tot)  # padding rows: l = 0
-        f_next = jax.ops.segment_sum(
-            p.reshape(-1), tax2d.reshape(-1), num_segments=n_tax
+        def fwd_body(carry, xs):
+            cr, cx, ll_acc = carry
+            rid_c, coef_c, tax_c, il_c = xs
+            l = f[tax_c] * coef_c
+            cs, cr2, cx2 = chunk_scan(rid_c, l, comb_sum, add_correct,
+                                      cr, cx, first_semantics=False)
+            ll_acc = ll_acc + jnp.sum(
+                jnp.where(il_c, jnp.log(cs), jnp.array(0, dtype))
+            )
+            return (cr2, cx2, ll_acc), cs
+
+        (_, _, ll), cs3 = jax.lax.scan(
+            fwd_body,
+            (jnp.int32(-9), jnp.array(0, dtype), jnp.array(0, dtype)),
+            (rid3, coef3, tax3, il3),
+        )
+
+        # backward pass in reversed line order: spread each read's total
+        # (its last prefix value = the reversed order's FIRST) to all of
+        # its lines, accumulating f_next chunk by chunk
+        cs3r = cs3.reshape(-1)[::-1].reshape(S, CR, BS)
+
+        def bwd_body(carry, xs):
+            cr, cx, f_acc = carry
+            rid_c, cs_c, coef_c, tax_c = xs
+            tot, cr2, cx2 = chunk_scan(rid_c, cs_c, comb_first, rep_correct,
+                                       cr, cx, first_semantics=True)
+            l = f[tax_c] * coef_c
+            p = l / jnp.where(tot == 0, jnp.array(1, dtype), tot)
+            f_acc = f_acc + jax.ops.segment_sum(
+                p.reshape(-1), tax_c.reshape(-1), num_segments=n_tax
+            )
+            return (cr2, cx2, f_acc), None
+
+        (_, _, f_next), _ = jax.lax.scan(
+            bwd_body,
+            (jnp.int32(-9), jnp.array(0, dtype), jnp.zeros(n_tax, dtype)),
+            (rid3r, cs3r, coef3r, tax3r),
         )
         return f_next / f_next.sum(), ll
 

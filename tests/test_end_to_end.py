@@ -232,6 +232,48 @@ def test_em_jax_backend_large_table():
     assert np.argmax(f_np) == np.argmax(f_jx)
 
 
+def test_em_jax_chunked_scan_matches_numpy():
+    """The device EM's fixed-shape chunked lax.scan (compile
+    size-independence on TPU) must agree with the host float64 EM across
+    chunk-boundary shapes: multi-chunk, padding rows, and carries for
+    reads spanning chunk boundaries."""
+    import metamaps_tpu.engine.em as em
+
+    saved = em.EM_SCAN_CHUNK_ROWS, em.EM_SCAN_BLOCK
+    try:
+        em.EM_SCAN_CHUNK_ROWS, em.EM_SCAN_BLOCK = 2, 64
+        rng = np.random.default_rng(5)
+        counts = rng.integers(1, 9, 1200)  # reads span many tiny chunks
+        n_lines = int(counts.sum())
+        read_of_line = np.repeat(np.arange(1200), counts)
+        n_tax = 23
+        raw = rng.random(n_lines) + 1e-3
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        mapq = raw / np.repeat(np.add.reduceat(raw, starts[:-1]), counts)
+        table = em.MappingTable(
+            lines=[""] * n_lines,
+            read_of_line=read_of_line.astype(np.int64),
+            taxon_of_line=rng.integers(0, n_tax, n_lines).astype(np.int32),
+            mapq=mapq, inv_locations=rng.random(n_lines) * 1e-5 + 1e-7,
+            identity=np.zeros(n_lines), contig_of_line=[""] * n_lines,
+            start=np.zeros(n_lines, np.int64),
+            stop=np.zeros(n_lines, np.int64),
+            read_len=np.zeros(n_lines, np.int64),
+            read_ids=[f"r{i}" for i in range(1200)],
+            taxon_list=[str(t) for t in range(n_tax)],
+        )
+        f = rng.random(n_tax)
+        f /= f.sum()
+        f_np, ll_np = em.em_iterate(table, f)
+        step = em.make_em_iterate_jax(table)
+        f_jx, ll_jx = step(f.astype(np.float32))
+        np.testing.assert_allclose(np.asarray(f_jx, np.float64), f_np,
+                                   rtol=1e-4, atol=1e-7)
+        assert abs(float(ll_jx) - ll_np) <= 2e-5 * max(1.0, abs(ll_np))
+    finally:
+        em.EM_SCAN_CHUNK_ROWS, em.EM_SCAN_BLOCK = saved
+
+
 def test_em_auto_backend_resolution():
     from metamaps_tpu.engine import em
 
