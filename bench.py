@@ -555,11 +555,13 @@ def main():
     from metamaps_tpu.params import Parameters
 
     quick = "--quick" in sys.argv
-    # default 2 temporal shards (2 Gbp): the per-shard device-table swap
-    # runs 30-500 s through the shared tunnel, so 4 shards can exceed the
-    # driver's bench window; `--shards 4` (4 Gbp) is exercised and recorded
-    # in BENCH_multishard.json / STATUS.md
-    n_shards = int(os.environ.get("METAMAPS_TPU_BENCH_SHARDS", "2"))
+    # default 1 shard (1 Gbp): keeps the headline series comparable across
+    # rounds (reads/s against the same DB size) and inside the driver's
+    # bench window — each extra shard adds a 30-500 s device-table swap
+    # through the shared tunnel. The memory-bounded multishard capability
+    # (`--shards N`, N x 1 Gbp with table swap + unify) is exercised and
+    # recorded in BENCH_multishard.json / STATUS.md
+    n_shards = int(os.environ.get("METAMAPS_TPU_BENCH_SHARDS", "1"))
     if "--shards" in sys.argv:
         n_shards = int(sys.argv[sys.argv.index("--shards") + 1])
     if "--prebuild-shards" in sys.argv:
