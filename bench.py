@@ -112,13 +112,52 @@ def _shard_from_tables(t, contig_names, contig_lengths):
     return sh
 
 
+def _migrate_legacy_names(total_bases, seed):
+    """Pre-round-4 caches coupled the table file name to the read count
+    (db_<bases>_<seed>_1536_tables.npz); tables are read-count-independent,
+    so rename into the decoupled scheme instead of rebuilding 15 min/shard."""
+    new_tab = os.path.join(CACHE_DIR, f"db_{total_bases}_{seed}_tables.npz")
+    old_tab = os.path.join(CACHE_DIR, f"db_{total_bases}_{seed}_1536_tables.npz")
+    if not os.path.exists(new_tab) and os.path.exists(old_tab):
+        os.rename(old_tab, new_tab)
+    old_rd = os.path.join(CACHE_DIR, f"db_{total_bases}_{seed}_1536_reads.npz")
+    new_rd = os.path.join(CACHE_DIR, f"reads_{total_bases}_{seed}_1536.npz")
+    if not os.path.exists(new_rd) and os.path.exists(old_rd):
+        os.rename(old_rd, new_rd)
+
+
+def _find_reads_cache(total_bases, seed, n_reads):
+    """Path of a cached read set with >= n_reads reads (reads are drawn
+    sequentially from the seeded rng, so the first n of a larger cache are
+    exactly the smaller cache), or None."""
+    import glob
+
+    exact = os.path.join(CACHE_DIR, f"reads_{total_bases}_{seed}_{n_reads}.npz")
+    if os.path.exists(exact):
+        return exact
+    best = None
+    best_n = None
+    for fn in glob.glob(
+        os.path.join(CACHE_DIR, f"reads_{total_bases}_{seed}_*.npz")
+    ):
+        try:
+            n = int(fn.rsplit("_", 1)[1].split(".")[0])
+        except ValueError:
+            continue
+        if n >= n_reads and (best_n is None or n < best_n):
+            best, best_n = fn, n
+    return best
+
+
 def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
                    seed=LARGE_SEED):
     """Build (or load from cache) the structured DB + ONT reads. Returns
     (shard, device_tables, reads, build_info). ``seed`` names the shard —
     the multishard bench builds N independent 1 Gbp shards with distinct
     seeds (the reference's memory-bounded temporal shards,
-    winSketch.hpp:298-329)."""
+    winSketch.hpp:298-329). Tables and reads are cached independently: a
+    read-count change reuses the (15-min) table build and only redraws
+    reads."""
     from concurrent.futures import ThreadPoolExecutor
 
     from metamaps_tpu.engine.index import SketchShard
@@ -128,12 +167,30 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
     from metamaps_tpu.sim.synth_db import make_ont_reads, synth_structured_db
 
     os.makedirs(CACHE_DIR, exist_ok=True)
-    tag = f"db_{total_bases}_{seed}_{n_reads}"
-    tab_fn = os.path.join(CACHE_DIR, tag + "_tables.npz")
-    reads_fn = os.path.join(CACHE_DIR, tag + "_reads.npz")
+    _migrate_legacy_names(total_bases, seed)
+    tab_fn = os.path.join(CACHE_DIR, f"db_{total_bases}_{seed}_tables.npz")
+    reads_fn = _find_reads_cache(total_bases, seed, n_reads)
     info = {}
 
-    if os.path.exists(tab_fn) and os.path.exists(reads_fn):
+    if os.path.exists(tab_fn) and reads_fn is None:
+        # tables cached but no read set this large: resynthesize the genomes
+        # (deterministic from the seed; the expensive winnow/finalize/table
+        # passes are skipped) and draw the reads
+        rng = np.random.default_rng(seed)
+        t0 = time.perf_counter()
+        genomes, _names = synth_structured_db(rng, total_bases=total_bases)
+        reads = make_ont_reads(rng, genomes, n_reads, min_len=3000,
+                               max_len=7600)
+        reads = [r[:8192] for r in reads]
+        del genomes
+        reads_fn = os.path.join(
+            CACHE_DIR, f"reads_{total_bases}_{seed}_{n_reads}.npz")
+        np.savez(reads_fn, reads=np.array(reads, dtype=object))
+        info["reads_regen_s"] = round(time.perf_counter() - t0, 1)
+        if verbose:
+            print(f"# reads regenerated: {info}", flush=True)
+
+    if os.path.exists(tab_fn) and reads_fn is not None:
         t0 = time.perf_counter()
         z = np.load(tab_fn, allow_pickle=True)
         # table-format versioning: entries written before the current
@@ -155,7 +212,7 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
             names = [str(x) for x in z["contig_names"]]
             lens = z["contig_lengths"]
             rz = np.load(reads_fn, allow_pickle=True)
-            reads = [np.asarray(r) for r in rz["reads"]]
+            reads = [np.asarray(r) for r in rz["reads"][:n_reads]]
             info["cache"] = "hit"
             info["load_s"] = round(time.perf_counter() - t0, 1)
             return _shard_from_tables(tables, names, lens), tables, reads, info
@@ -204,6 +261,8 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
         contig_lengths=np.array(shard.contig_lengths, np.int64),
         format_version=np.int64(CACHE_FORMAT),
     )
+    reads_fn = os.path.join(
+        CACHE_DIR, f"reads_{total_bases}_{seed}_{n_reads}.npz")
     np.savez(reads_fn, reads=np.array(reads, dtype=object))
     info["cache_save_s"] = round(time.perf_counter() - t0, 1)
     info["cache"] = "miss"
@@ -303,7 +362,7 @@ def _pad_tables_common(tables_list, verbose=True):
     return padded
 
 
-def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
+def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
     """Map one read set against an N x 1 Gbp database under a fixed HBM
     budget: one shard's device tables resident at a time, swapped between
     mapping passes; per-read candidates merged across shards and mapping
@@ -312,10 +371,7 @@ def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
     215-323) at realistic scale. Returns (detail dict, merged results)."""
     import jax
 
-    from metamaps_tpu.engine import mapper_oracle
     from metamaps_tpu.engine.mapper_jax import JaxMapperEngine
-    from metamaps_tpu.engine.mapwrap import add_mapping_qualities
-    from metamaps_tpu.io.mappings import MappingLine
     from metamaps_tpu.ops.batch_map import DeviceShard
     from metamaps_tpu.params import Parameters
 
@@ -324,10 +380,11 @@ def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
 
     detail = {"mode": "multishard", "n_shards": n_shards}
     shards, tables_list, read_sets = [], [], []
+    per = n_reads // n_shards
     t0 = time.perf_counter()
     for i in range(n_shards):
         seed = LARGE_SEED + 7919 * i
-        sh, tb, rd, info = build_db_large(seed=seed, n_reads=n_reads,
+        sh, tb, rd, info = build_db_large(seed=seed, n_reads=per,
                                           verbose=verbose)
         # globally unique contig names across shards (the reference DB has
         # globally unique contigs; synth shards reuse local names)
@@ -343,7 +400,6 @@ def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
 
     # reads drawn evenly from every shard's genomes (each read has a true
     # home shard; the others are realistic decoys)
-    per = n_reads // n_shards
     reads = [r for rs in read_sets for r in rs[:per]]
 
     padded = _pad_tables_common(tables_list, verbose=verbose)
@@ -369,7 +425,8 @@ def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
             engine.map_reads(reads)
             engine.map_reads(reads)
             warm_state = (engine._configs, engine._route_plan,
-                          engine._route_rates, engine._spec_tier)
+                          engine._route_rates, engine._spec_tier,
+                          engine._spec_need)
         else:
             # inherit the warmed route plans/configs: identical compiled
             # shapes across the swap loop, so later shards route straight
@@ -381,6 +438,7 @@ def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
                 {k: dict(v) for k, v in warm_state[2].items()},
                 dict(warm_state[3]),
             )
+            engine._spec_need = dict(warm_state[4])
         t0 = time.perf_counter()
         all_results.append(engine.map_reads(reads))
         map_s.append(round(time.perf_counter() - t0, 3))
@@ -396,29 +454,8 @@ def run_multishard_bench(n_shards, n_reads=1536, verbose=True):
         print("# unify: merging per-read candidates", flush=True)
     del padded  # free the padded host copies before the EM phases
     t0 = time.perf_counter()
-    merged_lines = []
-    n_mapped = 0
-    for r in range(len(reads)):
-        cands = []
-        for i in range(n_shards):
-            ms = mapper_oracle.report_filter(all_results[i][r],
-                                             params.report_all)
-            for m in ms:
-                cands.append(MappingLine(
-                    read_id=f"read{r}",
-                    read_len=m.query_len,
-                    strand=m.strand,
-                    contig_id=shards[i].contig_names[m.ref_seqid],
-                    contig_len=shards[i].contig_lengths[m.ref_seqid],
-                    ref_start=m.ref_start,
-                    ref_end=m.ref_end,
-                    identity=m.nuc_identity,
-                    intersection=m.conserved,
-                    sketch_size=m.sketch_size,
-                ).format())
-        if cands:
-            n_mapped += 1
-            merged_lines.extend(add_mapping_qualities(params, cands))
+    merged_lines, n_mapped = unify_lines(params, all_results, shards,
+                                         len(reads))
     detail["unify_s"] = round(time.perf_counter() - t0, 2)
     detail.update({
         "swap_s_per_shard": swap_s,
@@ -507,29 +544,67 @@ def em_bench_realdist(merged_lines, shards, min_lines=5_000_000):
     }
 
 
-def run_mapping_bench(engine, reads, warm=2):
+def run_mapping_bench(engine, reads, warm=2, passes=3):
+    """Warm twice (first pass seeds the route plan host-side, second
+    compiles the device-routed kernels the plan selects), then time
+    ``passes`` full passes. Returns (times list, results): callers report
+    median + min/max — a single best-of number hides the shared tunnel's
+    ±15% variance (profiling/README.md)."""
     for _ in range(warm):
         engine.map_reads(reads[:256])
-    dt = float("inf")
+    times = []
     results = None
-    for _ in range(3):
+    for _ in range(passes):
         t0 = time.perf_counter()
         results = engine.map_reads(reads)
-        dt = min(dt, time.perf_counter() - t0)
-    return dt, results
+        times.append(time.perf_counter() - t0)
+    return times, results
 
 
-def _multishard_cache_ready(n_shards, n_reads=1536):
-    """True when every shard's host tables are already disk-cached — a cold
-    multishard build is ~15 min/shard on this image's 2 CPUs, too slow for
-    the driver's bench window (the caches are built once by
+def unify_lines(params, all_results, shards, n_reads):
+    """The unifyFiles merge (mapWrap.h:34-213): per-read candidates
+    concatenated in shard order, report filter + mapping qualities over the
+    union. Returns (merged mapping lines, n_mapped)."""
+    from metamaps_tpu.engine import mapper_oracle
+    from metamaps_tpu.engine.mapwrap import add_mapping_qualities
+    from metamaps_tpu.io.mappings import MappingLine
+
+    merged_lines = []
+    n_mapped = 0
+    for r in range(n_reads):
+        cands = []
+        for i, res in enumerate(all_results):
+            ms = mapper_oracle.report_filter(res[r], params.report_all)
+            for m in ms:
+                cands.append(MappingLine(
+                    read_id=f"read{r}",
+                    read_len=m.query_len,
+                    strand=m.strand,
+                    contig_id=shards[i].contig_names[m.ref_seqid],
+                    contig_len=shards[i].contig_lengths[m.ref_seqid],
+                    ref_start=m.ref_start,
+                    ref_end=m.ref_end,
+                    identity=m.nuc_identity,
+                    intersection=m.conserved,
+                    sketch_size=m.sketch_size,
+                ).format())
+        if cands:
+            n_mapped += 1
+            merged_lines.extend(add_mapping_qualities(params, cands))
+    return merged_lines, n_mapped
+
+
+def _multishard_cache_ready(n_shards, n_reads_per_shard):
+    """True when every shard's host tables + reads are already disk-cached —
+    a cold multishard build is ~15 min/shard on this image's 2 CPUs, too
+    slow for the driver's bench window (the caches are built once by
     `python bench.py --prebuild-shards N`)."""
     for i in range(n_shards):
         seed = LARGE_SEED + 7919 * i
-        tag = f"db_{LARGE_BASES}_{seed}_{n_reads}"
-        if not (os.path.exists(os.path.join(CACHE_DIR, tag + "_tables.npz"))
-                and os.path.exists(
-                    os.path.join(CACHE_DIR, tag + "_reads.npz"))):
+        _migrate_legacy_names(LARGE_BASES, seed)
+        tab = os.path.join(CACHE_DIR, f"db_{LARGE_BASES}_{seed}_tables.npz")
+        if not (os.path.exists(tab)
+                and _find_reads_cache(LARGE_BASES, seed, n_reads_per_shard)):
             return False
     return True
 
@@ -559,26 +634,32 @@ def main():
     # rounds (reads/s against the same DB size) and inside the driver's
     # bench window — each extra shard adds a 30-500 s device-table swap
     # through the shared tunnel. The memory-bounded multishard capability
-    # (`--shards N`, N x 1 Gbp with table swap + unify) is exercised and
-    # recorded in BENCH_multishard.json / STATUS.md
+    # (`--shards N`, N x 1 Gbp with table swap + unify) is recorded in the
+    # committed BENCH_multishard.json
     n_shards = int(os.environ.get("METAMAPS_TPU_BENCH_SHARDS", "1"))
     if "--shards" in sys.argv:
         n_shards = int(sys.argv[sys.argv.index("--shards") + 1])
+    n_reads = int(os.environ.get("METAMAPS_TPU_BENCH_READS", "16384"))
+    if "--reads" in sys.argv:
+        n_reads = int(sys.argv[sys.argv.index("--reads") + 1])
     if "--prebuild-shards" in sys.argv:
         n = int(sys.argv[sys.argv.index("--prebuild-shards") + 1])
         for i in range(n):
-            build_db_large(seed=LARGE_SEED + 7919 * i)
+            build_db_large(seed=LARGE_SEED + 7919 * i,
+                           n_reads=(n_reads if i == 0 else n_reads // n))
         print(f"# {n} shard caches ready")
         return
     multishard = (
-        not quick and n_shards > 1 and _multishard_cache_ready(n_shards)
+        not quick and n_shards > 1
+        and _multishard_cache_ready(n_shards, n_reads // n_shards)
     )
     rng = np.random.default_rng(7)
     params = Parameters(kmer_size=16, window_size=16, min_read_length=2000,
                         percentage_identity=80.0, report_all=True)
 
     if multishard:
-        detail, merged_lines, ms_shards = run_multishard_bench(n_shards)
+        detail, merged_lines, ms_shards = run_multishard_bench(
+            n_shards, n_reads=n_reads)
         print("# em_bench (synthetic 1M lines)", flush=True)
         em_ms = em_bench(rng)
         detail["em_iter_ms_1Mlines"] = round(em_ms, 2)
@@ -601,14 +682,15 @@ def main():
         t_db = time.perf_counter() - t0
         engine = JaxMapperEngine(shard, params, read_len_buckets=(8192,))
         reads = make_reads_quick(rng, genomes, 512)
-        dt, results = run_mapping_bench(engine, reads)
+        times, results = run_mapping_bench(engine, reads)
         detail = {
             "mode": "quick",
             "db_bases": sum(len(g) for g in genomes),
             "db_build_s": round(t_db, 2),
         }
+        shards_for_em = None
     else:
-        shard, tables, reads, info = build_db_large()
+        shard, tables, reads, info = build_db_large(n_reads=n_reads)
         t0 = time.perf_counter()
         import jax
 
@@ -628,7 +710,7 @@ def main():
             shard, params, read_len_buckets=(8192,), device_shard=dshard,
             hits_max=16384,
         )
-        dt, results = run_mapping_bench(engine, reads)
+        times, results = run_mapping_bench(engine, reads)
         detail = {
             "mode": "large",
             "db_bases": sum(shard.contig_lengths),
@@ -641,19 +723,36 @@ def main():
             "oracle_fallbacks": engine.stats["oracle_fallbacks"],
             **info,
         }
+        shards_for_em = [shard]
 
     n_mapped = sum(1 for r in results if r)
     mean_cands = float(np.mean([len(r) for r in results]))
-    reads_per_s = len(reads) / dt
+    dt_med = float(np.median(times))
+    reads_per_s = len(reads) / dt_med
     em_ms = em_bench(rng)
 
     detail.update({
         "n_reads": len(reads),
         "n_mapped": n_mapped,
         "mean_mappings_per_read": round(mean_cands, 2),
-        "map_s": round(dt, 3),
+        # median of the timed passes is the headline; min/max expose the
+        # shared-tunnel variance band (±15%, profiling/README.md)
+        "map_s": round(dt_med, 3),
+        "map_s_passes": [round(t, 3) for t in times],
+        "map_s_min": round(min(times), 3),
+        "map_s_max": round(max(times), 3),
+        "reads_per_s_best": round(len(reads) / min(times), 2),
         "em_iter_ms_1Mlines": round(em_ms, 2),
     })
+    if shards_for_em is not None:
+        print("# unify + em_bench_realdist (real mapping table)", flush=True)
+        t0 = time.perf_counter()
+        merged_lines, _ = unify_lines(params, [results], shards_for_em,
+                                      len(reads))
+        detail["unify_s"] = round(time.perf_counter() - t0, 2)
+        em_real = em_bench_realdist(merged_lines, shards_for_em)
+        if em_real:
+            detail.update(em_real)
     print(json.dumps({
         "metric": "mapping_throughput",
         "value": round(reads_per_s, 2),

@@ -83,8 +83,17 @@ def _l2_range_buckets(range_max: int) -> List[int]:
 
 
 def _l1_h_tiers(h_max: int) -> List[int]:
-    """Hit-capacity ladder for the expansion stage (cost ~ sort width H)."""
-    return [h for h in (512, 1024, 2048) if h < h_max] + [h_max]
+    """Hit-capacity ladder for the expansion stage (cost ~ sort width H).
+    ~1.25x geometric steps aligned to 128: the expansion's sorts scale with
+    H, so a dense ladder keeps the adaptive spec tier tight over the chunk
+    max (the r3 ladder jumped 2048 -> h_max, so a 1.2k-hit chunk expanded
+    at 8x its need). Only tiers a workload actually selects ever compile."""
+    rs: List[int] = []
+    r = 512
+    while r < h_max:
+        rs.append(r)
+        r = _round_up(int(r * 1.25) + 1, 128)
+    return rs + [h_max]
 
 
 def _l2_slab_k(r: int) -> int:
@@ -126,11 +135,21 @@ class JaxMapperEngine:
                 shard, drop_cpu_planes=on_accel
             )
         self.hits_max_override = hits_max
-        self.stats = {"oracle_fallbacks": 0}
+        # phase_s: cumulative wall seconds per map_reads phase (dispatch =
+        # host enqueue work, fetch = the combined device round trip, esc =
+        # hit-tier escalation round trips, host_route = host-routed L2
+        # leftovers, collect = slab fetch + result assembly). The SOL
+        # accounting (profiling/sol_large.py) reads these after a timed
+        # steady-state pass; reset with stats['phase_s'].clear()
+        self.stats = {"oracle_fallbacks": 0,
+                      "phase_s": {}, "esc_reads": 0, "leftover_cands": 0}
         self.buckets = tuple(sorted(read_len_buckets))
         self._configs: Dict[int, MapKernelConfig] = {}
-        # adaptive speculative expansion tier per bucket (phase 1a+1b)
+        # adaptive speculative expansion tier per bucket (phase 1a+1b):
+        # _spec_need tracks the decayed running max of observed hit totals,
+        # _spec_tier the ladder tier covering it
         self._spec_tier: Dict[int, int] = {}
+        self._spec_need: Dict[int, float] = {}
         # adaptive device-routing plan per bucket: (tiers, caps) — see
         # _adapt_route_plan. The first chunk of a bucket runs the
         # host-routed path and seeds the plan from observed tier rates.
@@ -180,6 +199,12 @@ class JaxMapperEngine:
         # speculative tier and the routing plan adapt to observed chunks).
         import jax
 
+        ph = self.stats["phase_s"]
+
+        def _ph(key, dt):
+            ph[key] = ph.get(key, 0.0) + dt
+
+        t_ph = time.perf_counter()
         stage1 = []
         for bucket, idxs in by_bucket.items():
             cfg = self._config_for(bucket)
@@ -200,6 +225,7 @@ class JaxMapperEngine:
                 stage1.append(
                     (bucket, chunk, out, lens_d, tier0, spec, route, dslabs)
                 )
+        _ph("dispatch", time.perf_counter() - t_ph)
 
         for _, _, out, _, _, spec, route, dslabs in stage1:
             arrs = [out[2], out[3], out[6], spec]
@@ -222,6 +248,7 @@ class JaxMapperEngine:
                 fetch += list(route) + [o for _, o in dslabs]
             all_fetch.append(fetch)
         all_fetched = jax.device_get(all_fetch)
+        _ph("fetch", time.perf_counter() - t0)
         if _PROFILE:
             print(
                 f"PROFILE mapper_jax: combined fetch chunks={len(stage1)} "
@@ -238,23 +265,33 @@ class JaxMapperEngine:
             groups = [(tier0, list(range(B)), spec_h)]
             esc = [r for r in range(B) if tier0 < total[r] <= cfg.hits_max]
             if esc:
+                t_esc = time.perf_counter()
                 tiers = _l1_h_tiers(cfg.hits_max)
                 tier1 = next(h for h in tiers if h >= max(total[r] for r in esc))
                 g_out = self._dispatch_stage1b_rows(
                     cfg, bucket, out, lens_d, esc, tier1
                 )
                 groups.append((tier1, esc, jax.device_get(g_out)))
+                _ph("esc", time.perf_counter() - t_esc)
+                self.stats["esc_reads"] += len(esc)
                 if _PROFILE:
                     print(
                         f"PROFILE mapper_jax: stage1b escalation "
                         f"tier={tier1} n={len(esc)}",
                         file=sys.stderr,
                     )
-            # adapt the speculative tier to this chunk's observed need
+            # adapt the speculative tier: ratchet up to the chunk's need
+            # instantly (an undersized tier costs an escalation round trip
+            # next chunk), decay slowly so one spiky chunk doesn't pin an
+            # oversized tier on the whole run
             tiers = _l1_h_tiers(cfg.hits_max)
-            need = int(min(max(total.max(), 1), cfg.hits_max))
-            self._spec_tier[bucket] = next(h for h in tiers if h >= need)
+            need = float(min(max(total.max(), 1), cfg.hits_max))
+            obs = max(need, self._spec_need.get(bucket, 0.0) * 0.995)
+            self._spec_need[bucket] = obs
+            self._spec_tier[bucket] = next(
+                h for h in tiers if h >= min(obs, cfg.hits_max))
 
+            t_h = time.perf_counter()
             host = self._assemble_l1(cfg, chunk, s_size, s_ovf, total, groups)
             if route is None:
                 fallback, slabs = self._dispatch_l2(
@@ -272,6 +309,7 @@ class JaxMapperEngine:
                 leftover = {int(cd) for cd in ovf_h if cd >= 0}
                 for r in esc:
                     leftover |= {r * C + c for c in range(C)}
+                self.stats["leftover_cands"] += len(leftover)
                 fallback, slabs = self._dispatch_l2(
                     cfg, bucket, host, out, lens_d, chunk, only=leftover
                 )
@@ -285,8 +323,10 @@ class JaxMapperEngine:
             self._adapt_route_plan(cfg, bucket, host, B,
                                    n_ovf if route is not None else 0)
             staged.append((bucket, chunk, host, fallback, slabs, grids))
+            _ph("host_route", time.perf_counter() - t_h)
 
         # phase 3: fetch host-routed slabs (if any) and assemble results
+        t_ph = time.perf_counter()
         for _, _, _, _, slabs, _ in staged:
             for _, o in slabs:
                 try:
@@ -302,6 +342,7 @@ class JaxMapperEngine:
             ] if slabs else []
             self._collect(self._configs[bucket], bucket, chunk, seqs, results,
                           host, fallback, slabs_h, grids)
+        _ph("collect", time.perf_counter() - t_ph)
         return results
 
     def _dispatch_stage1a(self, cfg, bucket, idxs, seqs):

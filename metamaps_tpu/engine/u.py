@@ -14,6 +14,10 @@ self-similarity distributions:
 - outputs: .U.WIMP (+ .absoluteClassifiedAt), .U.reads2Taxon,
   .U.lengthAndIdentitiesPerTaxonID, .U.shiftedHistogramsPerTaxonID,
   .EM2U.details/summary.
+
+Known divergence: .U.lengthAndIdentitiesPerTaxonID's Length column writes a
+deterministic 0 where the reference prints uninitialized memory (the fU.h
+print site never assigns its length local); see the write site below.
 """
 from __future__ import annotations
 
@@ -520,6 +524,11 @@ def do_u(params, mapped_file: str):
     with open(mapped_file + ".U.lengthAndIdentitiesPerTaxonID", "w") as ident_out, open(
         mapped_file + ".U.reads2Taxon", "w"
     ) as r2t_out:
+        # Length column: the reference prints uninitialized memory here
+        # (fU.h declares the read-length local but never assigns it before
+        # the print) — we write a deterministic 0 instead. Pinned in
+        # tests/test_u.py; a byte-diff against reference output must ignore
+        # this column.
         ident_out.write("taxonID\tdirectIndirect\ttaxonName\tIdentity\tLength\n")
         for read_lines in iter_reads_grouped(mapq_u_fn):
             locs, _ = _get_mappings_with_p((f_direct, f_indirect), read_lines)

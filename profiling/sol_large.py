@@ -1,19 +1,31 @@
-"""Speed-of-light accounting for the 1 Gbp bench (VERDICT r2 item 4).
+"""Speed-of-light accounting for the 1 Gbp bench (VERDICT r2 item 4 /
+r3 item 2).
 
 Decomposes the headline per-read cost into pipeline stages measured at the
-bench's production shapes, and puts each stage next to a derived floor:
+bench's PRODUCTION shapes — including the engine's adaptive expansion tier,
+not the worst-case cfg.hits_max (the r3 table's 16384-lane expand row was a
+methodology artifact: the engine's spec tier covers the chunk max, ~1.2k
+hits at this bench) — and puts each stage next to a derived floor:
 
 - gather-bound stages (lookup, expansion): the chip issues random gather
   LANES at ~18 ns each regardless of table size (profiling/gather_size.py:
   flat 4 MB..128 MB); an aligned row of 2..32 values costs one lane
-  (gather_microbench.py). Floor = (lanes issued) x 18 ns.
+  (gather_microbench.py). Floor = (real work lanes) x 18 ns.
 - compute-bound stages (winnow/sketch sort, L2 sweep): floor = HBM bytes
-  moved / 800 GB/s (v5e ~819 GB/s) vs measured — these are far from
-  memory-bound, so the print also shows work items/s to compare against
-  VPU issue limits.
+  moved / 819 GB/s (v5e).
+- host phases (dispatch enqueue, routing bookkeeping, result assembly):
+  measured from the engine's always-on phase counters
+  (JaxMapperEngine.stats['phase_s']); no hardware floor — the note marks
+  them host-bound.
+
+The e2e row warms TWICE before timing (first pass seeds the route plan,
+second compiles the device-routed kernels the plan selects — same rule as
+bench.run_mapping_bench; a once-warmed engine times compilation).
 
 Run (chip, after bench.py cached the DB): python profiling/sol_large.py
+Findings are recorded in profiling/README.md (kept current per round).
 """
+import dataclasses
 import os
 import sys
 import time
@@ -25,40 +37,71 @@ import numpy as np
 GATHER_NS_PER_LANE = 18.0  # gather_size.py finding, flat in table size
 HBM_GBPS = 819.0  # v5e spec
 
+N_E2E = 1024  # reads in the e2e timing (4 chunks; seconds of device work)
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     from bench import build_db_large
     from metamaps_tpu.engine.mapper_jax import (
         JaxMapperEngine,
+        _l1_h_tiers,
         _minhits_table,
     )
     from metamaps_tpu.ops.batch_map import (
         DeviceShard,
         MapKernelConfig,
-        batch_l1_expand,
         batch_lookup,
         batch_sketch,
+        map_batch_stage1a,
+        map_batch_stage1b,
     )
     from metamaps_tpu.params import Parameters
 
     jax.device_get(jnp.zeros(4) + 1)  # measurement rule #1
 
-    shard, tables, reads, info = build_db_large()
+    shard, tables, reads, info = build_db_large(n_reads=max(N_E2E, 1536))
     on_accel = jax.default_backend() in ("tpu", "axon", "gpu")
     dev = DeviceShard.from_tables(tables, drop_cpu_planes=on_accel)
-    jax.block_until_ready(dev.hash_sorted if dev.hash_sorted.size else
-                          dev.wpos)
+    jax.block_until_ready(dev.wpos)
     params = Parameters(kmer_size=16, window_size=16, min_read_length=2000,
                         percentage_identity=80.0, report_all=True)
     cfg = MapKernelConfig.for_read_len(8192, 16, 16, 4)
-    import dataclasses
-
     cfg = dataclasses.replace(cfg, hits_max=16384)
     B = 256
     S = cfg.sketch_max
+
+    # --- real work sizes from the host tables -----------------------------
+    # per-read hit totals (the quantity the engine's adaptive tier covers)
+    hs = np.asarray(tables["hash_sorted"])
+    thr = int(tables["freq_threshold"])
+    from metamaps_tpu.ops.winnow import winnow_fast
+
+    totals = []
+    for s in reads[: 4 * B]:
+        h, _, _ = winnow_fast(np.asarray(s), 16, 16)
+        uh = np.unique(h).astype(np.uint32)
+        c = np.searchsorted(hs, uh, "right") - np.searchsorted(hs, uh, "left")
+        totals.append(int(np.where(c < thr, c, 0).sum()))
+    totals = np.asarray(totals)
+    tiers = _l1_h_tiers(cfg.hits_max)
+    chunk_tiers = [
+        next(t for t in tiers if t >= totals[i : i + B].max())
+        for i in range(0, len(totals), B)
+    ]
+    tier_steady = int(np.median(chunk_tiers))
+    mean_hits = float(totals.mean())
+    print(f"# hit totals: mean {mean_hits:.0f}, max {totals.max()}, "
+          f"steady spec tier {tier_steady} (ladder {tiers})", flush=True)
 
     r = np.full((B, 8192), ord("A"), np.uint8)
     lens = np.zeros(B, np.int32)
@@ -86,63 +129,109 @@ def main():
     # --- stage: sketch (winnow + compaction sorts; compute-bound) ----------
     t_sk, sk = timeit(lambda: batch_sketch(cfg, reads_d, lens_d))
     q_hash, q_strand, s_size, s_ovf = sk
-    # floor: reads in + sketch out over HBM
     bytes_moved = B * 8192 + B * S * 5
-    add("sketch", t_sk, bytes_moved / (HBM_GBPS * 1e9), "HBM floor (compute-bound stage)")
+    add("sketch", t_sk, bytes_moved / (HBM_GBPS * 1e9),
+        "HBM floor (compute-bound stage)")
 
     # --- stage: lookup (2 gather lanes per sketch slot) --------------------
     t_lk, lk = timeit(lambda: batch_lookup(cfg, dev, q_hash))
-    start_d, count_d, total_d, qkey_d = lk
     lanes = 2 * B * S
     add("lookup", t_lk, lanes * GATHER_NS_PER_LANE * 1e-9,
         f"{2 * S} gather lanes/read @ {GATHER_NS_PER_LANE:.0f} ns")
 
-    # --- stage: L1 expansion (hit-pair row gathers + segment sort) ---------
-    t_ex, ex = timeit(lambda: batch_l1_expand(
-        cfg, dev, start_d, count_d, s_size, lens_d, mh))
-    n_hits = float(np.asarray(count_d).sum()) / B  # real hit rows per read
-    lanes_ex = B * cfg.hits_max  # padded issue width (compiled shape)
-    add("expand", t_ex, lanes_ex * GATHER_NS_PER_LANE * 1e-9,
-        f"{cfg.hits_max} pair-row lanes/read (real hits {n_hits:.0f})")
-
-    # --- stage: full stage1 (fused dispatch; overlap check) ----------------
-    from metamaps_tpu.ops.batch_map import map_batch_stage1a
-
-    t_s1, _ = timeit(lambda: map_batch_stage1a(cfg, dev, reads_d, lens_d))
+    # --- stage: stage1a fused (production dispatch) ------------------------
+    t_s1, out1a = timeit(lambda: map_batch_stage1a(cfg, dev, reads_d, lens_d))
     add("stage1a fused", t_s1,
         (bytes_moved / (HBM_GBPS * 1e9)) + lanes * GATHER_NS_PER_LANE * 1e-9,
         "sketch+lookup in one dispatch")
 
-    # --- stage: L2 (engine-routed slabs at real candidate mix) -------------
+    # --- stage: expansion at the engine's ACTUAL steady tier ---------------
+    rows_all = jnp.arange(B, dtype=jnp.int32)
+    for tier, tag in ((tier_steady, "steady tier"),
+                      (cfg.hits_max, "worst-case tier (not the bench path)")):
+        cfg_t = dataclasses.replace(cfg, hits_max=tier)
+        t_ex, spec = timeit(lambda c=cfg_t: map_batch_stage1b(
+            c, dev, rows_all, out1a[4], out1a[5], out1a[2], lens_d, mh))
+        add(f"expand@{tier}", t_ex,
+            B * mean_hits * GATHER_NS_PER_LANE * 1e-9,
+            f"{tag}: {tier} pair lanes/read padded, {mean_hits:.0f} real")
+        if tier == tier_steady:
+            spec_steady = spec
+    spec_h = np.asarray(spec_steady)
+    C = cfg.cands_max
+    n_occ = spec_h[:, 2 + 3 * C : 2 + 4 * C]
+    c_seq = spec_h[:, 2 : 2 + C]
+    occ_real = n_occ[c_seq >= 0]
+    mean_occ = float(occ_real.mean()) if occ_real.size else 0.0
+    cands_per_read = float((c_seq >= 0).sum()) / B
+
+    # --- e2e: warmed engine, phase decomposition ---------------------------
     engine = JaxMapperEngine(shard, params, read_len_buckets=(8192,),
                              device_shard=dev, hits_max=16384)
-    sub = reads[:B]
-    engine.map_reads(sub)  # compile + seed route plan
-    t0 = time.perf_counter()
-    res = engine.map_reads(sub)
-    t_e2e = time.perf_counter() - t0
+    sub = reads[:N_E2E]
+    engine.map_reads(sub)  # warm 1: seed route plan (host-routed L2)
+    engine.map_reads(sub)  # warm 2: compile the device-routed kernels
+    best = None
+    for _ in range(3):
+        engine.stats["phase_s"].clear()
+        engine.stats["esc_reads"] = 0
+        engine.stats["leftover_cands"] = 0
+        t0 = time.perf_counter()
+        res = engine.map_reads(sub)
+        dt = time.perf_counter() - t0
+        if best is None or dt < best[0]:
+            best = (dt, dict(engine.stats["phase_s"]),
+                    engine.stats["esc_reads"],
+                    engine.stats["leftover_cands"])
+    t_e2e, phases, esc_reads, leftover = best
     n_cand = sum(len(x) for x in res)
-    # measured L2 cost = e2e - stage1 fused - host tail; floor: the sweep's
-    # occurrence-window slice traffic (5 x R x 4 B per candidate) over HBM
-    r_bytes = 5 * cfg.range_max * 4
-    t_l2 = max(0.0, t_e2e - t_s1)
-    add("e2e minus stage1a", t_l2,
-        n_cand / B * r_bytes / (HBM_GBPS * 1e9),
-        f"L2+routing+host; {n_cand / B:.2f} cands/read, window slice "
-        f"{r_bytes // 1024} KB/cand")
 
-    total_meas = t_e2e / B * 1e6
-    print(f"\nSOL table — 1 Gbp bench, B={B} reads/chunk "
-          f"(e2e {total_meas:.0f} us/read, "
-          f"{B / t_e2e:.0f} reads/s single-chunk)\n")
-    print(f"{'stage':<20} {'us/read':>9} {'floor us':>9} {'x over':>7}  note")
+    # --- L2 device route+score in isolation (production plan) --------------
+    plan = engine._route_plan.get(8192)
+    t_l2 = None
+    if plan is not None:
+        from metamaps_tpu.ops.batch_map import l2_route_and_score
+
+        tier0 = engine._spec_tier.get(8192, tier_steady)
+        cfg_e = engine._configs[8192]
+        cfg_s = dataclasses.replace(cfg_e, hits_max=tier0)
+        spec0 = map_batch_stage1b(
+            cfg_s, dev, rows_all, out1a[4], out1a[5], out1a[2], lens_d, mh)
+        args = (dev, out1a[0], out1a[1], out1a[2], out1a[3], out1a[6],
+                lens_d, out1a[7], spec0, jnp.int32(tier0), jnp.int32(B))
+        t_l2, _ = timeit(
+            lambda: l2_route_and_score(cfg_e, *args, plan), n=5)
+        # floor: each slab member's occurrence-window slice (5 rows x rr x
+        # 4 B) — at the REAL mean occupancy, not the padded tier
+        slab_bytes_real = n_cand / N_E2E * B * 5 * mean_occ * 4
+        add("l2 route+score", t_l2, slab_bytes_real / (HBM_GBPS * 1e9),
+            f"plan {[(rr, k) for rr, _, k in plan]}; "
+            f"{cands_per_read:.1f} cands/read, mean occ {mean_occ:.0f}")
+
+    # --- host phases (no hardware floor) -----------------------------------
+    scale = B / N_E2E  # phases accumulated over N_E2E reads -> per-B
+    for key in ("dispatch", "fetch", "esc", "host_route", "collect"):
+        if key in phases:
+            add(f"host:{key}", phases[key] * scale, 0.0,
+                "host-bound (enqueue/round trips/assembly)"
+                if key != "fetch" else
+                "combined device round trip (waits on device compute)")
+
+    total_meas = t_e2e / N_E2E * 1e6
+    print(f"\nSOL table — 1 Gbp bench, B={B} reads/chunk, e2e over "
+          f"{N_E2E} reads: {total_meas:.0f} us/read = "
+          f"{N_E2E / t_e2e:.0f} reads/s (esc_reads={esc_reads}, "
+          f"leftover_cands={leftover})\n")
+    print(f"{'stage':<22} {'us/read':>9} {'floor us':>9} {'x over':>7}  note")
     for stage, meas, floor, note in rows:
-        ratio = meas / floor if floor > 0 else float("inf")
-        print(f"{stage:<20} {meas:9.1f} {floor:9.2f} {ratio:7.1f}  {note}")
+        ratio = f"{meas / floor:7.1f}" if floor > 0 else "      -"
+        print(f"{stage:<22} {meas:9.1f} {floor:9.2f} {ratio}  {note}")
     print(
         "\nnotes: floors are lane-issue/HBM bounds, not roofline compute; "
         "tunnel variance +-15%; dispatch overhead ~2.5 ms/chain amortized "
-        f"over B={B} reads = {2500 / B:.1f} us/read baseline."
+        f"over B={B} reads = {2500 / B:.1f} us/read baseline. Device-stage "
+        "rows are isolated dispatches; in production they overlap the host "
+        "phases, so rows sum to more than e2e."
     )
 
 
