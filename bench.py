@@ -30,8 +30,9 @@ LARGE_SEED = 20260820
 # entries are rebuilt — or migrated when cheap — instead of silently
 # loading an old table format); version 2 == the remix/block9p layout
 # (detected by 'remix_e' presence in pre-marker caches); version 3 ==
-# 5-row pos_tab with packed hrow|strand and no standalone chain planes
-CACHE_FORMAT = 3
+# 5-row i32 pos_tab; version 4 == hs32 + uint16 chain deltas
+# (build_chain_deltas) replacing pos_tab
+CACHE_FORMAT = 4
 
 
 def _migrate_cache_v2_to_v3(tab_fn, z):
@@ -50,6 +51,41 @@ def _migrate_cache_v2_to_v3(tab_fn, z):
         pack_hrow_strand(old[1], old[5])[None],
         old[2:5],
     ])
+    np.savez(tab_fn + ".tmp.npz", **tables, format_version=np.int64(3))
+    os.replace(tab_fn + ".tmp.npz", tab_fn)
+    return np.load(tab_fn, allow_pickle=True)
+
+
+def _migrate_cache_v3_to_v4(tab_fn, z):
+    """v3 -> v4 without the 15-min rebuild: the uint16 chain deltas are
+    pure arithmetic over the old absolute-position pos_tab rows
+    (wpos, hrow|strand, prev_w_same, chain_b, next_w_same)."""
+    print("# migrating bench cache v3 -> v4 (chain deltas)", flush=True)
+    i32min, i32max = np.int32(-(2**31)), np.int32(2**31 - 1)
+    tables = {k: z[k] for k in z.files if k not in (
+        "pos_tab", "format_version", "allow_pickle")}
+    pt = z["pos_tab"]
+    w64 = pt[0].astype(np.int64)
+    has_p = pt[2] != i32min
+    has_n = pt[4] != i32max
+    gap_prev = np.where(
+        has_p, np.clip(w64 - pt[3].astype(np.int64) - 1, 0, 65535), 65535
+    ).astype(np.uint16)
+    delta_pw = np.where(
+        has_p, np.clip(w64 - pt[2].astype(np.int64), 0, 65535), 65535
+    ).astype(np.uint16)
+    delta_nw = np.where(
+        has_n, np.clip(pt[4].astype(np.int64) - w64, 0, 65535), 65535
+    ).astype(np.uint16)
+    tables["hs32"] = pt[1]
+    tables["chains16"] = np.stack([gap_prev, delta_pw, delta_nw])
+    co = tables["contig_offsets"].astype(np.int64)
+    max_step = 0
+    for i in range(len(co) - 1):
+        if co[i + 1] - co[i] > 1:
+            max_step = max(max_step,
+                           int(np.diff(w64[co[i]:co[i + 1]]).max()))
+    tables["max_step"] = np.int64(max_step)
     np.savez(tab_fn + ".tmp.npz", **tables,
              format_version=np.int64(CACHE_FORMAT))
     os.replace(tab_fn + ".tmp.npz", tab_fn)
@@ -100,6 +136,10 @@ def _shard_from_tables(t, contig_names, contig_lengths):
     sh.strand = np.asarray(t["strand_pos"])
     sh.hash_pos_order = np.asarray(t["hash_pos"])
     sh.hash_sorted = np.asarray(t["hash_sorted"])
+    # the hash-order strand plane is not cached; rebuild it with the same
+    # stable sort key finalize() uses (oracle fallbacks need it)
+    order = np.argsort(sh.hash_pos_order, kind="stable")
+    sh.strand_byhash = sh.strand[order]
     pair = np.asarray(t["pair_byhash"])
     sh.seqid_byhash = pair[:, 0]
     sh.wpos_byhash = pair[:, 1]
@@ -204,6 +244,9 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
         )
         if ver == 2:
             z = _migrate_cache_v2_to_v3(tab_fn, z)
+            ver = 3
+        if ver == 3:
+            z = _migrate_cache_v3_to_v4(tab_fn, z)
             ver = CACHE_FORMAT
         if ver == CACHE_FORMAT:
             tables = {k: z[k] for k in z.files if k not in (
@@ -331,9 +374,7 @@ def _pad_tables_common(tables_list, verbose=True):
         out[: len(x)] = x
         return out
 
-    pos_fill = np.array(
-        [i32max, i32max // 4, -(2**31), -2, i32max], np.int32
-    )
+    max_step_common = max(int(t.get("max_step", 64)) for t in tables_list)
     padded = []
     for t in tables_list:
         p = dict(t)
@@ -342,11 +383,14 @@ def _pad_tables_common(tables_list, verbose=True):
         p["wpos"] = pad1(t["wpos"], m_max, i32max)
         p["hash_pos"] = pad1(t["hash_pos"], m_max, np.uint32(0xFFFFFFFF))
         p["strand_pos"] = pad1(t["strand_pos"], m_max, np.int8(1))
-        pt = np.empty((5, m_max), np.int32)
-        m = t["pos_tab"].shape[1]
-        pt[:, :m] = t["pos_tab"]
-        pt[:, m:] = pos_fill[:, None]
-        p["pos_tab"] = pt
+        from metamaps_tpu.ops.batch_map import HROW_PAD
+
+        p["hs32"] = pad1(t["hs32"], m_max, HROW_PAD)
+        m = t["chains16"].shape[1]
+        ch = np.full((3, m_max), np.uint16(65535), np.uint16)
+        ch[:, :m] = t["chains16"]
+        p["chains16"] = ch
+        p["max_step"] = np.int64(max_step_common)
         co = np.asarray(t["contig_offsets"])
         p["contig_offsets"] = pad1(co, c_max, co[-1])
         p["uniq_hash"] = pad1(t["uniq_hash"], u_max, np.uint32(0xFFFFFFFF))
@@ -426,7 +470,8 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
             engine.map_reads(reads)
             warm_state = (engine._configs, engine._route_plan,
                           engine._route_rates, engine._spec_tier,
-                          engine._spec_need)
+                          engine._spec_need, engine._exp_plan,
+                          engine._exp_rates)
         else:
             # inherit the warmed route plans/configs: identical compiled
             # shapes across the swap loop, so later shards route straight
@@ -439,6 +484,8 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
                 dict(warm_state[3]),
             )
             engine._spec_need = dict(warm_state[4])
+            engine._exp_plan = dict(warm_state[5])
+            engine._exp_rates = {k: dict(v) for k, v in warm_state[6].items()}
         t0 = time.perf_counter()
         all_results.append(engine.map_reads(reads))
         map_s.append(round(time.perf_counter() - t0, 3))
@@ -545,13 +592,16 @@ def em_bench_realdist(merged_lines, shards, min_lines=5_000_000):
 
 
 def run_mapping_bench(engine, reads, warm=2, passes=3):
-    """Warm twice (first pass seeds the route plan host-side, second
-    compiles the device-routed kernels the plan selects), then time
-    ``passes`` full passes. Returns (times list, results): callers report
-    median + min/max — a single best-of number hides the shared tunnel's
-    ±15% variance (profiling/README.md)."""
+    """Warm twice on a 256-read slice (first pass seeds the route/expansion
+    plans host-side, second compiles the fused kernels the plans select),
+    then once on the FULL read set (the full set's chunk statistics can
+    adapt the plans once more — let any recompile land outside the timed
+    passes), then time ``passes`` full passes. Returns (times list,
+    results): callers report median + min/max — a single best-of number
+    hides the shared tunnel's ±15% variance (profiling/README.md)."""
     for _ in range(warm):
         engine.map_reads(reads[:256])
+    engine.map_reads(reads)
     times = []
     results = None
     for _ in range(passes):
@@ -750,6 +800,12 @@ def main():
         merged_lines, _ = unify_lines(params, [results], shards_for_em,
                                       len(reads))
         detail["unify_s"] = round(time.perf_counter() - t0, 2)
+        if "--dump-mappings" in sys.argv:
+            fn = sys.argv[sys.argv.index("--dump-mappings") + 1]
+            with open(fn, "w") as f:
+                f.write("\n".join(merged_lines) + "\n")
+            print(f"# mappings dumped: {len(merged_lines)} lines -> {fn}",
+                  flush=True)
         em_real = em_bench_realdist(merged_lines, shards_for_em)
         if em_real:
             detail.update(em_real)

@@ -152,6 +152,18 @@ def main(argv=None):
     p_ex.add_argument("--accuracy", type=float, default=0.88)
     p_ex.add_argument("--minReadLen", type=int, default=2000)
 
+    p_sdb = sub.add_parser(
+        "synthDB",
+        help="write a synthetic database directory (full DB-dir contract) "
+        "at realistic taxonomy scale for accuracy experiments",
+    )
+    p_sdb.add_argument("--out", required=True)
+    p_sdb.add_argument("--genera", type=int, default=36)
+    p_sdb.add_argument("--speciesPerGenus", type=int, default=3)
+    p_sdb.add_argument("--genomeLen", type=int, default=120_000)
+    p_sdb.add_argument("--divergence", type=float, default=0.08)
+    p_sdb.add_argument("--seed", type=int, default=0)
+
     p_sim = sub.add_parser("simulate", help="simulate reads / reduced DBs / evaluate an inference run")
     p_sim.add_argument("--action", choices=["reads", "reducedDB", "inference", "evaluate"], required=True)
     p_sim.add_argument("--DB", required=True)
@@ -244,6 +256,10 @@ def main(argv=None):
     p_ss.add_argument("--simFrom", type=int, default=None)
     p_ss.add_argument("--simTo", type=int, default=None)
     p_ss.add_argument("--simStep", type=int, default=None)
+    p_ss.add_argument("--maxChunks", type=int, default=None,
+                      help="cap on sampled chunks per length per job "
+                      "(reference default 2000, "
+                      "estimateSelfSimilarity.pl:36-43)")
 
     p_gla = sub.add_parser("geneLevelAnalysis", help="functional profile from best mappings x gene annotations")
     p_gla.add_argument("--DB", required=True)
@@ -418,6 +434,22 @@ def main(argv=None):
             )
             return 0 if not res.failures else 1
         print(write_manifest(plan, args.targetDir.rstrip("/") + ".manifest"))
+        return 0
+
+    if args.command == "synthDB":
+        import numpy as np
+
+        from .sim.synth_db import write_synth_db_dir
+
+        taxa = write_synth_db_dir(
+            args.out, np.random.default_rng(args.seed),
+            n_genera=args.genera, species_per_genus=args.speciesPerGenus,
+            genome_len=args.genomeLen,
+            intra_genus_divergence=args.divergence,
+        )
+        print(f"synthDB: {len(taxa)} genomes "
+              f"({args.genera} genera x {args.speciesPerGenus} species, "
+              f"{args.genomeLen} bp each) -> {args.out}")
         return 0
 
     if args.command == "experiments":
@@ -627,6 +659,8 @@ def main(argv=None):
             kw["sim_to"] = args.simTo
         if args.simStep is not None:
             kw["sim_step"] = args.simStep
+        if args.maxChunks is not None:
+            kw["max_chunks"] = args.maxChunks
         if args.mode == "prepare":
             jobs = ss.prepare(args.DB, out_dir)
             print(f"{len(jobs)} jobs -> {out_dir}/jobs.json")

@@ -34,7 +34,7 @@ from ..engine import mapper_oracle
 from ..io.fasta import read_sequences
 from ..params import Parameters
 from ..taxonomy import Taxonomy
-from ..ops.winnow import winnow_np
+from ..ops.winnow import winnow_fast
 
 # reference defaults (estimateSelfSimilarity.pl:36-43)
 SIM_SIZE_FROM = 2000
@@ -182,7 +182,7 @@ def _map_chunks(
             shard = SketchShard()
             parts = []
             for i, (name, seq) in enumerate(b_contigs):
-                h, p, s = winnow_np(seq, params.kmer_size, w)
+                h, p, s = winnow_fast(seq, params.kmer_size, w)
                 parts.append((h, p, s, i))
                 shard.contig_names.append(name)
                 shard.contig_lengths.append(len(seq))

@@ -127,13 +127,23 @@ class JaxMapperEngine:
         else:
             import jax
 
-            # accelerators run the pallas L2 path, which reads pos_tab's
-            # hrow/strand rows — the standalone hash_pos/strand_pos planes
-            # are only for the CPU scatter path, so don't ship them to HBM
+            # accelerators run the pallas L2 path, which reads the
+            # hs32/chains16 planes — the standalone hash_pos/strand_pos
+            # planes are only for the CPU scatter path, so don't ship them
             on_accel = jax.default_backend() in ("tpu", "axon", "gpu")
             self.device_shard = DeviceShard.from_host(
                 shard, drop_cpu_planes=on_accel
             )
+        # chain-delta clamp validity (build_chain_deltas): a bucket whose
+        # worst-case L exceeds 65536 - max_step would consult clamped
+        # deltas under an unbounded gate — such reads go to the host oracle
+        k_w = None
+        if hasattr(params, "kmer_size"):
+            k_w = params.kmer_size + params.window_size
+        self._bucket_cap = (
+            65536 - self.device_shard.max_step + (k_w or 32) - 2
+            if k_w is not None else 65536
+        )
         self.hits_max_override = hits_max
         # phase_s: cumulative wall seconds per map_reads phase (dispatch =
         # host enqueue work, fetch = the combined device round trip, esc =
@@ -150,6 +160,12 @@ class JaxMapperEngine:
         # _spec_tier the ladder tier covering it
         self._spec_tier: Dict[int, int] = {}
         self._spec_need: Dict[int, float] = {}
+        # adaptive per-READ expansion-tier plan per bucket (fused path):
+        # ((tier, K), ...) ascending — most reads expand at tiers near
+        # their own hit total instead of the chunk max; rates ratchet up
+        # instantly and decay slowly like the L2 route rates
+        self._exp_plan: Dict[int, Tuple[Tuple[int, int], ...]] = {}
+        self._exp_rates: Dict[int, Dict[int, float]] = {}
         # adaptive device-routing plan per bucket: (tiers, caps) — see
         # _adapt_route_plan. The first chunk of a bucket runs the
         # host-routed path and seeds the plan from observed tier rates.
@@ -171,7 +187,10 @@ class JaxMapperEngine:
     def _bucket_of(self, length: int) -> int:
         for b in self.buckets:
             if length <= b:
-                return b
+                # buckets beyond the chain-delta clamp's validity bound go
+                # to the oracle (default tables: cap ~65547, so every
+                # standard bucket qualifies)
+                return b if b <= self._bucket_cap else -1
         return -1  # longer than the largest bucket -> oracle
 
     def map_reads(self, seqs: List[np.ndarray]) -> List[List[ReadMapping]]:
@@ -210,6 +229,17 @@ class JaxMapperEngine:
             cfg = self._config_for(bucket)
             for i in range(0, len(idxs), self.CHUNK):
                 chunk = idxs[i : i + self.CHUNK]
+                l2_plan = self._route_plan.get(bucket)
+                exp_plan = self._exp_plan.get(bucket)
+                if l2_plan is not None and exp_plan is not None:
+                    # steady state: the whole chunk as ONE dispatch chain
+                    # with per-read expansion tiers (map_batch_chunk)
+                    out, lens_d, fused = self._dispatch_fused(
+                        cfg, bucket, chunk, seqs, exp_plan, l2_plan
+                    )
+                    stage1.append((bucket, chunk, out, lens_d, "fused",
+                                   fused[0], fused[1], fused[2]))
+                    continue
                 out, lens_d = self._dispatch_stage1a(cfg, bucket, chunk, seqs)
                 tier0 = self._spec_tier.get(bucket, 1024)
                 spec = self._dispatch_stage1b_rows(
@@ -217,21 +247,26 @@ class JaxMapperEngine:
                 )
                 route = None
                 dslabs = []
-                plan = self._route_plan.get(bucket)
-                if plan is not None:
+                if l2_plan is not None:
                     route, dslabs = self._dispatch_l2_device(
-                        bucket, out, lens_d, spec, tier0, len(chunk), plan
+                        bucket, out, lens_d, spec, tier0, len(chunk), l2_plan
                     )
                 stage1.append(
                     (bucket, chunk, out, lens_d, tier0, spec, route, dslabs)
                 )
         _ph("dispatch", time.perf_counter() - t_ph)
 
-        for _, _, out, _, _, spec, route, dslabs in stage1:
-            arrs = [out[2], out[3], out[6], spec]
+        def _fetch_list(tier0, out, spec, route, dslabs):
+            if tier0 == "fused":
+                return ([out[2], out[3], out[6], spec[0], spec[1]]
+                        + list(route) + [o for _, o in dslabs])
+            f = [out[2], out[3], out[6], spec]
             if route is not None:
-                arrs += list(route) + [o for _, o in dslabs]
-            for a in arrs:
+                f += list(route) + [o for _, o in dslabs]
+            return f
+
+        for _, _, out, _, tier0, spec, route, dslabs in stage1:
+            for a in _fetch_list(tier0, out, spec, route, dslabs):
                 try:
                     a.copy_to_host_async()
                 except Exception:
@@ -241,12 +276,11 @@ class JaxMapperEngine:
         # is a full tunnel round trip); then per chunk: escalate overflowing
         # reads, route leftovers through the host path, adapt the plans
         t0 = time.perf_counter()
-        all_fetch = []
-        for bucket, chunk, out, lens_d, tier0, spec, route, dslabs in stage1:
-            fetch = [out[2], out[3], out[6], spec]
-            if route is not None:
-                fetch += list(route) + [o for _, o in dslabs]
-            all_fetch.append(fetch)
+        all_fetch = [
+            _fetch_list(tier0, out, spec, route, dslabs)
+            for bucket, chunk, out, lens_d, tier0, spec, route, dslabs
+            in stage1
+        ]
         all_fetched = jax.device_get(all_fetch)
         _ph("fetch", time.perf_counter() - t0)
         if _PROFILE:
@@ -261,6 +295,52 @@ class JaxMapperEngine:
             cfg = self._configs[bucket]
             B = len(chunk)
             C = cfg.cands_max
+            if tier0 == "fused":
+                t_h = time.perf_counter()
+                s_size, s_ovf, total, spec_h, cov_h = fetched[:5]
+                coord_h, ovf_h = fetched[5:7]
+                slab_outs = fetched[7:]
+                cov_h = np.asarray(cov_h)[:B]
+                total = np.asarray(total)
+                host = self._assemble_l1_fused(
+                    cfg, B, s_size, s_ovf, total, spec_h, cov_h
+                )
+                esc = [r for r in range(B)
+                       if not cov_h[r] and total[r] <= cfg.hits_max]
+                if esc:
+                    t_esc = time.perf_counter()
+                    tiers = _l1_h_tiers(cfg.hits_max)
+                    tier1 = next(h for h in tiers
+                                 if h >= max(total[r] for r in esc))
+                    g_out = self._dispatch_stage1b_rows(
+                        cfg, bucket, out, lens_d, esc, tier1
+                    )
+                    self._merge_esc_rows(cfg, host, esc,
+                                         jax.device_get(g_out), total)
+                    _ph("esc", time.perf_counter() - t_esc)
+                    self.stats["esc_reads"] += len(esc)
+                grids = self._grids_from_device_slabs(
+                    cfg, B, coord_h, dslabs, slab_outs
+                )
+                leftover = {int(cd) for cd in ovf_h if cd >= 0}
+                for r in esc:
+                    leftover |= {r * C + c for c in range(C)}
+                self.stats["leftover_cands"] += len(leftover)
+                fallback, slabs = self._dispatch_l2(
+                    cfg, bucket, host, out, lens_d, chunk, only=leftover
+                )
+                n_ovf = int((np.asarray(ovf_h) >= 0).sum())
+                self._adapt_route_plan(cfg, bucket, host, B, n_ovf)
+                self._adapt_exp_plan(bucket, cfg, total[:B], len(esc))
+                staged.append((bucket, chunk, host, fallback, slabs, grids))
+                _ph("host_route", time.perf_counter() - t_h)
+                if _PROFILE:
+                    print(
+                        f"PROFILE mapper_jax: fused chunk B={B} "
+                        f"esc={len(esc)} leftovers={len(leftover)}",
+                        file=sys.stderr,
+                    )
+                continue
             s_size, s_ovf, total, spec_h = fetched[:4]
             groups = [(tier0, list(range(B)), spec_h)]
             esc = [r for r in range(B) if tier0 < total[r] <= cfg.hits_max]
@@ -322,6 +402,7 @@ class JaxMapperEngine:
                 n_ovf = int((np.asarray(ovf_h) >= 0).sum())
             self._adapt_route_plan(cfg, bucket, host, B,
                                    n_ovf if route is not None else 0)
+            self._adapt_exp_plan(bucket, cfg, np.asarray(total)[:B], 0)
             staged.append((bucket, chunk, host, fallback, slabs, grids))
             _ph("host_route", time.perf_counter() - t_h)
 
@@ -376,6 +457,150 @@ class JaxMapperEngine:
                 file=sys.stderr,
             )
         return out, lens_d
+
+    def _dispatch_fused(self, cfg, bucket, idxs, seqs, exp_plan, l2_plan):
+        """Enqueue the whole chunk as ONE fused dispatch chain
+        (map_batch_chunk). Returns (stage1a 8-tuple, lens_d,
+        ((spec_full, covered), (slab_coord, ovf_coord), dslabs))."""
+        import jax.numpy as jnp
+
+        from ..ops.batch_map import map_batch_chunk
+
+        B = len(idxs)
+        b_pad = 8
+        while b_pad < B:
+            b_pad *= 2
+        b_pad = min(max(b_pad, B), self.CHUNK)
+        reads = np.full((b_pad, bucket), ord("A"), np.uint8)
+        lens = np.zeros(b_pad, np.int32)
+        for r in range(b_pad):
+            i = idxs[r] if r < B else idxs[0]
+            reads[r, : len(seqs[i])] = seqs[i]
+            lens[r] = len(seqs[i])
+        minhits = _minhits_table(
+            cfg.sketch_max, self.params.kmer_size,
+            float(self.params.percentage_identity),
+        )
+        t0 = time.perf_counter()
+        reads_d = jnp.asarray(reads)
+        lens_d = jnp.asarray(lens)
+        out1a, spec_full, covered, slab_coord, ovf_coord, outs = (
+            map_batch_chunk(
+                cfg, self.device_shard, reads_d, lens_d,
+                jnp.asarray(minhits), jnp.int32(B), exp_plan=exp_plan,
+                l2_plan=l2_plan,
+            )
+        )
+        dslabs = []
+        off = 0
+        for _, _, K in l2_plan:
+            dslabs.append(((off, K), outs[len(dslabs)]))
+            off += K
+        if _PROFILE:
+            print(
+                f"PROFILE mapper_jax: fused dispatch B={b_pad} "
+                f"exp={exp_plan} {time.perf_counter() - t0:.3f}s",
+                file=sys.stderr,
+            )
+        return out1a, lens_d, (
+            (spec_full, covered), (slab_coord, ovf_coord), dslabs
+        )
+
+    def _assemble_l1_fused(self, cfg, B, s_size, s_ovf, total, spec_full,
+                           covered):
+        """Vectorized host-array assembly from the fused kernel's combined
+        expansion output (no per-row python loop)."""
+        C = cfg.cands_max
+        arr = np.asarray(spec_full)[:B]
+        cov = covered
+        n_c = np.where(cov, arr[:, 0], 0).astype(np.int32)
+        l1_ovf = (np.where(cov, arr[:, 1], 0) > 0) | (
+            np.asarray(total)[:B] > cfg.hits_max
+        )
+        c_seq = np.where(cov[:, None], arr[:, 2 : 2 + C], -1).astype(np.int32)
+        c_start = arr[:, 2 + C : 2 + 2 * C].astype(np.int32)
+        c_end = arr[:, 2 + 2 * C : 2 + 3 * C].astype(np.int32)
+        n_occ = arr[:, 2 + 3 * C : 2 + 4 * C].astype(np.int32)
+        return (s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ)
+
+    def _merge_esc_rows(self, cfg, host, rows, arr, total):
+        """Overwrite the host arrays with the escalation pass's exact-tier
+        expansion rows (same semantics as the legacy group overwrite)."""
+        (s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ) = host
+        C = cfg.cands_max
+        for t, r in enumerate(rows):
+            if r < 0:
+                continue
+            n_c[r] = arr[t, 0]
+            l1_ovf[r] = bool(arr[t, 1]) or (total[r] > cfg.hits_max)
+            c_seq[r] = arr[t, 2 : 2 + C]
+            c_start[r] = arr[t, 2 + C : 2 + 2 * C]
+            c_end[r] = arr[t, 2 + 2 * C : 2 + 3 * C]
+            n_occ[r] = arr[t, 2 + 3 * C : 2 + 4 * C]
+
+    def _adapt_exp_plan(self, bucket, cfg, totals, n_esc):
+        """Maintain the per-read expansion-tier plan from observed hit
+        totals: rates per ladder tier ratchet up instantly and decay ~2% a
+        chunk; capacities carry 25% headroom quantized to 16 so the compiled
+        fused-kernel shapes stay stable. The plan grows immediately when a
+        chunk escalated (undersized); a changed desired plan is otherwise
+        adopted only after 8 consecutive chunks (a plan change recompiles
+        the fused kernel)."""
+        tiers = _l1_h_tiers(cfg.hits_max)
+        tot = np.clip(np.asarray(totals), 1, cfg.hits_max)
+        t_idx = np.searchsorted(tiers, tot, side="left")
+        counts = np.bincount(t_idx, minlength=len(tiers))
+        old = self._exp_rates.get(bucket, {})
+        rates = {}
+        for ti in set(np.nonzero(counts)[0].tolist()) | set(old):
+            obs = counts[ti] / max(len(tot), 1) if ti < len(counts) else 0.0
+            rates[ti] = max(obs, old.get(ti, 0.0) * 0.98)
+        rates = {t: r for t, r in rates.items() if r * self.CHUNK >= 0.5}
+        self._exp_rates[bucket] = rates
+        if not rates:
+            return
+        # desired plan: ascending tiers, K = rate with 25% headroom in
+        # multiples of 16; merge beyond 4 tiers into the largest
+        order = sorted(rates)
+        if len(order) > 4:
+            keep = order[-3:]
+            low_rate = sum(rates[t] for t in order[:-3])
+            merged = {keep[0]: rates[keep[0]] + low_rate}
+            merged.update({t: rates[t] for t in keep[1:]})
+            use = merged
+        else:
+            use = {t: rates[t] for t in order}
+        desired = []
+        for ti in sorted(use):
+            K = int(np.ceil(use[ti] * self.CHUNK * 1.25 / 16)) * 16
+            desired.append((tiers[ti], max(16, min(K, self.CHUNK))))
+        desired = tuple(desired)
+        cur = self._exp_plan.get(bucket)
+        self._exp_stable = getattr(self, "_exp_stable", {})
+        self._exp_esc = getattr(self, "_exp_esc", {})
+        if cur is None:
+            self._exp_plan[bucket] = desired
+            self._exp_stable[bucket] = 0
+            self._exp_esc[bucket] = 0
+            return
+        # an escalated read costs one ~10 ms repair round trip; a plan
+        # change recompiles the fused kernel (~1 min through the tunnel).
+        # Grow only on RECURRING escalation (3 consecutive chunks), adopt
+        # any other change only after it stays desired for 8 chunks.
+        self._exp_esc[bucket] = (self._exp_esc.get(bucket, 0) + 1
+                                 if n_esc > 0 else 0)
+        if self._exp_esc[bucket] >= 3:
+            self._exp_plan[bucket] = desired
+            self._exp_stable[bucket] = 0
+            self._exp_esc[bucket] = 0
+            return
+        if desired == cur:
+            self._exp_stable[bucket] = 0
+            return
+        self._exp_stable[bucket] = self._exp_stable.get(bucket, 0) + 1
+        if self._exp_stable[bucket] >= 8:
+            self._exp_plan[bucket] = desired
+            self._exp_stable[bucket] = 0
 
     def _dispatch_stage1b_rows(self, cfg, bucket, dev, lens_d, rows, tier):
         """Enqueue one expansion kernel at the given H tier for ``rows``

@@ -364,14 +364,14 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-HROW_STRAND_BIT = 30  # pos_tab row 1 packs (hrow | strand_plus << 30)
+HROW_STRAND_BIT = 30  # hs32 packs (hrow | strand_plus << 30)
 HROW_MASK = (1 << HROW_STRAND_BIT) - 1
 HROW_PAD = np.int32(2**31 - 1) // 4  # decodes to a huge hrow, strand -1
 
 
 def pack_hrow_strand(hrow: np.ndarray, strand: np.ndarray) -> np.ndarray:
     """Pack the per-entry strand sign into hrow's spare top bits (hrow <=
-    M <= 2^28 < 2^30): one pos_tab row instead of two. Decode on device:
+    M <= 2^28 < 2^30): one hs32 plane instead of two. Decode on device:
     hrow = v & HROW_MASK, strand = (v >> 30 & 1) * 2 - 1."""
     assert int(hrow.max(initial=0)) < (1 << HROW_STRAND_BIT)
     return (
@@ -425,6 +425,52 @@ def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
     return prev_w_same, chain_b, next_w_same
 
 
+CHAIN_U16_MAX = np.uint16(65535)  # chain-delta clamp / "none or far" sentinel
+
+
+def build_chain_deltas(wpos: np.ndarray, hash_pos: np.ndarray,
+                       contig_offsets: np.ndarray):
+    """Same-hash chain links as clamped 16-bit position DELTAS — 6 B/entry
+    where the absolute-position tables (build_chain_tables) cost 12.
+
+    For entry g with same-hash previous occurrence p / next occurrence r in
+    the same contig:
+
+    - ``gap_prev[g]``  = wpos[g] - wpos[p+1]  (p's activation-interval gap);
+    - ``delta_pw[g]``  = wpos[g] - wpos[p];
+    - ``delta_nw[g]``  = wpos[r] - wpos[g];
+
+    each clamped to 65535, which doubles as the "no link" sentinel. The
+    clamp is EXACT for every decision the L2 setup makes, for any read
+    bucket up to 65536 bp, because each field is only consulted under a
+    gate bounded by L - 2 + max_step where L <= 65506 and max_step (the
+    largest adjacent-minimizer gap, <= w+1 by the winnowing density
+    guarantee) is tiny — see _make_candidate_setup_pos. Returns
+    ([3, M] uint16, max_step); callers must verify
+    L_max + max_step + 2 <= 65535 for each read bucket they enable
+    (JaxMapperEngine routes larger buckets to the host oracle)."""
+    prev_w, chain_b, next_w = build_chain_tables(wpos, hash_pos,
+                                                 contig_offsets)
+    wpos = np.asarray(wpos, np.int64)
+    has_p = prev_w != np.iinfo(np.int32).min
+    has_n = next_w != np.iinfo(np.int32).max
+    gap_prev = np.where(
+        has_p, np.clip(wpos - chain_b.astype(np.int64) - 1, 0, 65535), 65535
+    ).astype(np.uint16)
+    delta_pw = np.where(
+        has_p, np.clip(wpos - prev_w.astype(np.int64), 0, 65535), 65535
+    ).astype(np.uint16)
+    delta_nw = np.where(
+        has_n, np.clip(next_w.astype(np.int64) - wpos, 0, 65535), 65535
+    ).astype(np.uint16)
+    co = np.asarray(contig_offsets, np.int64)
+    max_step = 0
+    for i in range(len(co) - 1):
+        if co[i + 1] - co[i] > 1:
+            max_step = max(max_step, int(np.diff(wpos[co[i]:co[i + 1]]).max()))
+    return np.stack([gap_prev, delta_pw, delta_nw]), max_step
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
@@ -433,7 +479,8 @@ def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
         "wpos",
         "hash_pos",
         "strand_pos",
-        "pos_tab",
+        "hs32",
+        "chains16",
         "contig_offsets",
         "uniq_hash",
         "uniq_start",
@@ -442,7 +489,7 @@ def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
         "dir_packed",
     ],
     meta_fields=["freq_threshold", "bucket_shift", "bisect_steps",
-                 "lookup_mode", "remix_e"],
+                 "lookup_mode", "remix_e", "max_step"],
 )
 @dataclass
 class DeviceShard:
@@ -483,11 +530,14 @@ class DeviceShard:
     # accelerator uploads may pass a zero-size dummy (from_tables
     # drop_cpu_planes=True)
     strand_pos: jnp.ndarray  # [M] int8 (position order; CPU-only, see above)
-    pos_tab: jnp.ndarray  # [5, M] int32: rows (wpos, hrow|strand<<30,
-    # prev_w_same, chain_b, next_w_same) — the position-order tables the L2
-    # candidate setup consumes, packed so one vmapped dynamic_slice fetches
-    # a candidate's whole occurrence window (separate 1-D slices would each
-    # pay the unaligned-window gather cost); see pack_hrow_strand
+    hs32: jnp.ndarray  # [M] int32: hrow|strand<<30 in position order (see
+    # pack_hrow_strand) — the L2 setup's qrank/membership/strand source
+    chains16: jnp.ndarray  # [3, M] uint16: same-hash chain links as clamped
+    # position deltas (gap_prev, delta_pw, delta_nw; build_chain_deltas) —
+    # 6 B/entry where round-3's absolute-position pos_tab rows cost 12, the
+    # core of the 44.7 -> sub-30 B/minimizer device-index diet. The L2
+    # setup slices hs32/chains16/wpos windows per candidate (contiguous
+    # dynamic slices, not gathers)
     contig_offsets: jnp.ndarray  # [n_contigs+1] int32
     uniq_hash: jnp.ndarray  # [U] uint32 (sorted; dummy in block8 mode)
     uniq_start: jnp.ndarray  # [U+1] int32 (CSR; dummy in block8 mode)
@@ -500,6 +550,10 @@ class DeviceShard:
     lookup_mode: str  # 'block8' | 'block9p' | 'block16' | 'bisect'
     remix_e: int = 0  # bucket-key equalizer exponent (0 = raw top bits);
     # see remix_keys_np — minimizer hashes are min-of-w skewed
+    max_step: int = 64  # largest adjacent-minimizer position gap in any
+    # contig — bounds the chain-delta clamp validity (build_chain_deltas);
+    # the engine routes read buckets with L_max + max_step + 2 > 65535 to
+    # the host oracle
 
     @classmethod
     def host_tables(cls, shard) -> dict:
@@ -518,7 +572,7 @@ class DeviceShard:
             [np.asarray(shard.seqid_byhash, np.int32),
              np.asarray(shard.wpos_byhash, np.int32)], axis=1,
         )
-        prev_w, chain_b, next_w = build_chain_tables(
+        chains16, max_step = build_chain_deltas(
             np.asarray(shard.wpos), np.asarray(shard.hash_pos_order),
             np.asarray(shard.contig_offsets),
         )
@@ -526,18 +580,14 @@ class DeviceShard:
             np.asarray(shard.hash_sorted, np.uint32),
             np.asarray(shard.hash_pos_order, np.uint32),
         ).astype(np.int32)
-        pos_tab = np.stack([
-            np.asarray(shard.wpos, np.int32),
-            pack_hrow_strand(hrow, np.asarray(shard.strand)),
-            prev_w, chain_b, next_w,
-        ])
         return {
             "hash_sorted": np.asarray(shard.hash_sorted),
             "pair_byhash": pair,
             "wpos": np.asarray(shard.wpos),
             "hash_pos": np.asarray(shard.hash_pos_order),
             "strand_pos": np.asarray(shard.strand),
-            "pos_tab": pos_tab,
+            "hs32": pack_hrow_strand(hrow, np.asarray(shard.strand)),
+            "chains16": chains16,
             "contig_offsets": shard.contig_offsets.astype(np.int32),
             "uniq_hash": uniq,
             "uniq_start": uniq_start,
@@ -549,6 +599,7 @@ class DeviceShard:
             "bisect_steps": np.int64(steps),
             "lookup_mode": np.array(mode),
             "remix_e": np.int64(remix_e),
+            "max_step": np.int64(max_step),
         }
 
     @classmethod
@@ -557,15 +608,16 @@ class DeviceShard:
 
         ``drop_cpu_planes=True`` replaces ``hash_pos``/``strand_pos`` with
         zero-size dummies — correct whenever every kernel traced against the
-        shard uses the pallas L2 path (which reads pos_tab's hrow/strand
-        rows instead); saves 5 B/minimizer of HBM. Legacy cache entries with
+        shard uses the pallas L2 path (which reads the hs32/chains16 planes
+        instead); saves 5 B/minimizer of HBM. Legacy cache entries with
         extra standalone-plane keys are ignored."""
         arrays = {
             k: jnp.asarray(t[k])
             for k in (
                 "hash_sorted", "pair_byhash", "wpos", "hash_pos",
-                "strand_pos", "pos_tab", "contig_offsets", "uniq_hash",
-                "uniq_start", "bucket_start", "kv32", "dir_packed",
+                "strand_pos", "hs32", "chains16", "contig_offsets",
+                "uniq_hash", "uniq_start", "bucket_start", "kv32",
+                "dir_packed",
             )
         }
         if drop_cpu_planes:
@@ -582,6 +634,7 @@ class DeviceShard:
             bisect_steps=int(t["bisect_steps"]),
             lookup_mode=str(t["lookup_mode"]),
             remix_e=int(t["remix_e"]) if "remix_e" in t else 0,
+            max_step=int(t["max_step"]) if "max_step" in t else 64,
         )
 
     @classmethod
@@ -1284,31 +1337,32 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
 
         M = shard.wpos.shape[0]
 
-        # ONE packed [5, R] slice + realignment roll fetches the whole
-        # occurrence window (wpos, hrow|strand, prev_w, chain_b, next_w)
-        tab = shard.pos_tab
+        # three contiguous window slices + realignment rolls fetch the whole
+        # occurrence state: wpos [R] i32, hrow|strand [R] i32, chain deltas
+        # [3, R] u16 (16 B/entry total vs round-3's 24 — the chain links are
+        # clamped deltas, build_chain_deltas)
+        wp, hs, ch = shard.wpos, shard.hs32, shard.chains16
         if M < R:
-            pad = jnp.broadcast_to(
-                jnp.array(
-                    [I32_MAX, HROW_PAD, I32_MIN, -2, I32_MAX],
-                    jnp.int32,
-                )[:, None],
-                (5, R - M),
+            wp = jnp.concatenate([wp, jnp.full(R - M, I32_MAX, jnp.int32)])
+            hs = jnp.concatenate([hs, jnp.full(R - M, HROW_PAD, jnp.int32)])
+            ch = jnp.concatenate(
+                [ch, jnp.full((3, R - M), CHAIN_U16_MAX, jnp.uint16)], axis=1
             )
-            tab = jnp.concatenate([tab, pad], axis=1)
             start2 = jnp.minimum(beg0, 0)
         else:
             start2 = jnp.minimum(beg0, M - R)
         shift = beg0 - start2
-        sl = jnp.roll(
-            jax.lax.dynamic_slice(tab, (0, start2), (5, R)), -shift, axis=1
+        occ_w_raw = jnp.roll(
+            jax.lax.dynamic_slice(wp, (start2,), (R,)), -shift
         )
-        occ_w = jnp.where(occ_v, sl[0], I32_MAX)
-        occ_hrow = sl[1] & HROW_MASK
-        occ_strand = ((sl[1] >> HROW_STRAND_BIT) & 1) * 2 - 1
-        prev_w = sl[2]
-        chb = sl[3]
-        next_ws = sl[4]
+        hsl = jnp.roll(jax.lax.dynamic_slice(hs, (start2,), (R,)), -shift)
+        chl = jnp.roll(
+            jax.lax.dynamic_slice(ch, (0, start2), (3, R)), -shift, axis=1
+        ).astype(jnp.int32)
+        occ_w = jnp.where(occ_v, occ_w_raw, I32_MAX)
+        occ_hrow = hsl & HROW_MASK
+        occ_strand = ((hsl >> HROW_STRAND_BIT) & 1) * 2 - 1
+        gap_prev, delta_pw, delta_nw = chl[0], chl[1], chl[2]
 
         empty = n_occ_c <= 0
         p0 = jnp.where(empty, 0, occ_w[0])
@@ -1332,13 +1386,26 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
         #   exists in the window (chain start cancels it);
         #   Y at next_w[t] = b_t + 1: -base, unless an overlapping same-hash
         #   successor exists (handover — the successor's net start).
-        # "p in window" <=> prev_w >= p0, "r in window" <=> next_ws <= w_last
-        # (wpos strictly increasing per contig); overlap <=> a_r <= b_p,
-        # evaluated identically from both sides.
+        # Expressed over the clamped 16-bit deltas (build_chain_deltas):
+        #   overlap with predecessor p:  a_t <= b_p    <=> gap_prev <= L - 2
+        #   p in window:                 wpos[p] >= p0 <=> occ_w - delta_pw >= p0
+        #   overlap with successor r:    a_r <= b_t    <=> delta_nw <= next_w - occ_w + L - 2
+        #   r in window:                 wpos[r] <= w_last <=> occ_w + delta_nw <= w_last
+        # Clamp-exactness: each delta is consulted only under a gate bounded
+        # by L - 2 (+ max_step), which the engine keeps < 65535 per bucket —
+        # the 65535 sentinel/"far" value then always fails the gate. For the
+        # window's LAST entry next_w is I32_MAX so the overlap gate passes
+        # vacuously, but occ_w == w_last makes the in-window test fail.
         base = jnp.where(in_q, jnp.int32(2), jnp.int32(1))
-        chain_prev_ok = occ_v & (prev_w >= p0) & (a_t <= chb)
+        chain_prev_ok = (
+            occ_v & (gap_prev <= L - 2) & (occ_w_raw - delta_pw >= p0)
+        )
+        # (the step term is clamped before adding L so the last entry's
+        # next_w = I32_MAX cannot overflow int32)
         chain_next_ok = (
-            occ_v & (next_ws <= w_last) & (next_ws - L + 1 <= next_w - 1)
+            occ_v & (occ_w_raw + delta_nw <= w_last)
+            & (delta_nw
+               <= jnp.minimum(next_w - occ_w_raw, 1 << 20) + L - 2)
         )
         x_key = jnp.where(occ_v, a_t, I32_MAX)
         x_sign = jnp.where(occ_v & ~chain_prev_ok, base, 0)
@@ -1354,7 +1421,7 @@ def _make_candidate_setup_pos(cfg: MapKernelConfig, shard: DeviceShard):
             valid_cand=valid_cand, overflow=overflow, beg0=beg0, L=L,
             occ_w=occ_w, p0=p0, p_max=p_max, s=s, n_ev=n_ev,
             ev_key=ev_key, ev_sign=ev_sign, ev_qrank=ev_qrank,
-            occ_hrow=occ_hrow, next_ws=next_ws, occ_strand=occ_strand,
+            occ_hrow=occ_hrow, occ_dnw=delta_nw, occ_strand=occ_strand,
         )
 
     return setup
@@ -1550,7 +1617,11 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_key,
         r_abs = stt["beg0"] + jnp.arange(R, dtype=jnp.int32)
         active = (r_abs >= ob) & (r_abs < oe) & has_best
         w_end = jnp.max(jnp.where(active, occ_w, I32_MIN))
-        is_last = active & (stt["next_ws"] > w_end)
+        # "no same-hash successor inside the range" over the clamped delta:
+        # w_end - occ_w <= L + max_step for active rows (the optimal map
+        # range spans at most L positions), so the 65535 clamp/sentinel
+        # always compares as "beyond the range" exactly
+        is_last = active & (stt["occ_dnw"] > w_end - occ_w)
         v_occ = 2 * stt["occ_hrow"] + 1  # [R]
         qkc = qk_row[:SC]
         il = is_last[:, None]
@@ -1636,16 +1707,11 @@ def map_batch_stage1a(cfg: MapKernelConfig, shard: DeviceShard, reads,
     return q_hash, q_strand, s_size, s_ovf, start, count, total, qkey
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def map_batch_stage1b(cfg: MapKernelConfig, shard: DeviceShard, rows, start,
-                      count, sketch_size, read_lens, minhits_table):
+def _stage1b_body(cfg: MapKernelConfig, shard: DeviceShard, rows, start,
+                  count, sketch_size, read_lens, minhits_table):
     """Expansion + candidate detection + per-candidate occurrence counts for
-    a host-routed row subset, at this cfg's hits_max tier. ``rows`` [K]
-    indexes into the stage-1a batch; start/count/sketch_size/read_lens are
-    the full stage-1a device arrays.
-
-    Returns ONE [K, 2+4C] int32 array — columns (n_c, l1_ovf, c_seq [C],
-    c_start [C], c_end [C], n_occ [C]) — so the fetch is a single buffer."""
+    a row subset at this cfg's hits_max tier (shared by the standalone
+    stage-1b dispatch and the fused chunk kernel)."""
     rows_c = jnp.maximum(rows, 0)
     st = start[rows_c]
     ct = count[rows_c]
@@ -1676,6 +1742,88 @@ def map_batch_stage1b(cfg: MapKernelConfig, shard: DeviceShard, rows, start,
         ],
         axis=1,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def map_batch_stage1b(cfg: MapKernelConfig, shard: DeviceShard, rows, start,
+                      count, sketch_size, read_lens, minhits_table):
+    """Standalone dispatch of :func:`_stage1b_body` (the engine's
+    speculative/escalation expansion). ``rows`` [K] indexes into the
+    stage-1a batch; start/count/sketch_size/read_lens are the full stage-1a
+    device arrays.
+
+    Returns ONE [K, 2+4C] int32 array — columns (n_c, l1_ovf, c_seq [C],
+    c_start [C], c_end [C], n_occ [C]) — so the fetch is a single buffer."""
+    return _stage1b_body(cfg, shard, rows, start, count, sketch_size,
+                         read_lens, minhits_table)
+
+
+@partial(jax.jit, static_argnames=("cfg", "exp_plan", "l2_plan"))
+def map_batch_chunk(cfg: MapKernelConfig, shard: DeviceShard, reads,
+                    read_lens, minhits_table, n_rows, exp_plan, l2_plan):
+    """The steady-state chunk path: sketch + lookup + device-side
+    EXPANSION-TIER routing + expansion at each planned tier + the L2 slab
+    router + every planned L2 slab — ONE dispatch chain for the whole
+    chunk (each host enqueue costs ~2.5 ms through the tunnel, and the
+    expansion sorts scale with the tier, so right-sizing per READ instead
+    of per chunk-max cuts both).
+
+    ``exp_plan`` = static ((tier, K), ...) ascending by tier: each read
+    lands in the smallest planned tier >= its hit total with a free slot
+    (spill flows to larger tiers); reads left uncovered (plan overflow or
+    total above the largest planned tier) come back with inert candidate
+    rows and are escalated host-side (rare — the plan adapts).
+
+    Returns (stage1a 8-tuple, spec_full [B, 2+4C], covered [B] bool,
+    slab_coord, ovf_coord, [slab outs])."""
+    q_hash, q_strand, s_size, s_ovf = batch_sketch(cfg, reads, read_lens)
+    start, count, total, qkey = batch_lookup(cfg, shard, q_hash)
+    out1a = (q_hash, q_strand, s_size, s_ovf, start, count, total, qkey)
+    B = reads.shape[0]
+    C = cfg.cands_max
+    import dataclasses as _dc
+
+    # inert init: candidate seqids -1 so uncovered reads route nothing
+    spec_full = jnp.concatenate(
+        [
+            jnp.zeros((B, 2), jnp.int32),
+            jnp.full((B, C), -1, jnp.int32),
+            jnp.zeros((B, 3 * C), jnp.int32),
+        ],
+        axis=1,
+    )
+    covered = jnp.zeros((B,), bool)
+    idx = jnp.arange(B, dtype=jnp.int32)
+    for tier, K in exp_plan:
+        need = (total <= tier) & ~covered
+        key = jnp.where(need, idx, B + idx)
+        rows = jnp.sort(key)[: min(K, B)]
+        rows = jnp.where(rows < B, rows, -1)
+        cfg_t = _dc.replace(cfg, hits_max=tier)
+        out_t = _stage1b_body(cfg_t, shard, rows, start, count, s_size,
+                              read_lens, minhits_table)
+        tgt = jnp.where(rows >= 0, rows, B)
+        spec_full = spec_full.at[tgt].set(out_t, mode="drop")
+        covered = covered.at[tgt].set(True, mode="drop")
+
+    # L2 routing + slabs over the combined expansion output; tier0 =
+    # hits_max (uncovered reads are inert; true L1 overflow carries its
+    # own flag)
+    slab_fields, slab_coord, ovf_coord = l2_route_device(
+        cfg, spec_full, s_size, s_ovf, total, jnp.int32(cfg.hits_max),
+        n_rows, l2_plan,
+    )
+    outs = []
+    off = 0
+    for rr, sc, K in l2_plan:
+        cfg_r = l2_cfg_for_tier(cfg, rr, sc)
+        fl = slab_fields[off : off + K]
+        outs.append(batch_l2_gather(
+            cfg_r, shard, q_hash, q_strand, s_size, read_lens,
+            fl[:, 0], fl[:, 1], fl[:, 2], fl[:, 3], qkey,
+        ))
+        off += K
+    return out1a, spec_full, covered, slab_coord, ovf_coord, outs
 
 
 @partial(jax.jit, static_argnames=("cfg", "slabs"))

@@ -121,15 +121,17 @@ def _make_sharded_step(mesh, cfg: MapKernelConfig, stacked):
     ax_shard, ax_data = mesh.axis_names
 
     def local(hash_sorted, pair_byhash, wpos, hash_pos, strand_pos,
-              pos_tab, contig_offsets, uniq_hash, uniq_start, bucket_start,
-              kv32, dir_packed, freq_thr, reads_l, lens_l, minhits):
+              hs32, chains16, contig_offsets, uniq_hash, uniq_start,
+              bucket_start, kv32, dir_packed, freq_thr, reads_l, lens_l,
+              minhits):
         shard = DeviceShard(
             hash_sorted=hash_sorted[0],
             pair_byhash=pair_byhash[0],
             wpos=wpos[0],
             hash_pos=hash_pos[0],
             strand_pos=strand_pos[0],
-            pos_tab=pos_tab[0],
+            hs32=hs32[0],
+            chains16=chains16[0],
             contig_offsets=contig_offsets[0],
             uniq_hash=uniq_hash[0],
             uniq_start=uniq_start[0],
@@ -141,6 +143,7 @@ def _make_sharded_step(mesh, cfg: MapKernelConfig, stacked):
             bisect_steps=stacked["bisect_steps"],
             lookup_mode=stacked["lookup_mode"],
             remix_e=stacked.get("remix_e", 0),
+            max_step=stacked.get("max_step", 64),
         )
         q_hash, q_strand, s_size, s_ovf = batch_sketch(cfg, reads_l, lens_l)
         c_seq, c_start, c_end, n_c, l1_ovf = batch_l1(
@@ -176,7 +179,7 @@ def _make_sharded_step(mesh, cfg: MapKernelConfig, stacked):
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(sh,) * 13 + (P(ax_data), P(ax_data), P()),
+        in_specs=(sh,) * 14 + (P(ax_data), P(ax_data), P()),
         out_specs=(
             P(None, None, ax_data),
             P(None, None, ax_data),
@@ -192,7 +195,8 @@ def _make_sharded_step(mesh, cfg: MapKernelConfig, stacked):
     def run(reads, lens, minhits):
         return jfn(
             stacked["hash_sorted"], stacked["pair_byhash"], stacked["wpos"],
-            stacked["hash_pos"], stacked["strand_pos"], stacked["pos_tab"],
+            stacked["hash_pos"], stacked["strand_pos"], stacked["hs32"],
+            stacked["chains16"],
             stacked["contig_offsets"], stacked["uniq_hash"],
             stacked["uniq_start"], stacked["bucket_start"], stacked["kv32"],
             stacked["dir_packed"], stacked["freq_threshold"].reshape(-1, 1),

@@ -90,7 +90,8 @@ def stack_shards(parts: List[SketchShard]):
         "wpos": [],
         "hash_pos": [],
         "strand_pos": [],
-        "pos_tab": [],
+        "hs32": [],
+        "chains16": [],
         "contig_offsets": [],
         "freq_threshold": [],
     }
@@ -171,6 +172,7 @@ def stack_shards(parts: List[SketchShard]):
             kv32s.append(np.zeros((1, 32), np.uint32))
             dirps.append(np.zeros(1, np.uint32))
 
+    max_step_common = 0
     for p in parts:
         arrs["hash_sorted"].append(pad1(p.hash_sorted, m_max, np.uint32(0xFFFFFFFF)))
         pair = np.full((m_max, 2), np.int32(2**31 - 1), np.int32)
@@ -181,26 +183,27 @@ def stack_shards(parts: List[SketchShard]):
         arrs["wpos"].append(pad1(p.wpos, m_max, np.int32(2**31 - 1)))
         arrs["hash_pos"].append(pad1(p.hash_pos_order, m_max, np.uint32(0xFFFFFFFF)))
         arrs["strand_pos"].append(pad1(p.strand, m_max, np.int8(1)))
-        from ..ops.batch_map import build_chain_tables
+        from ..ops.batch_map import (
+            HROW_PAD,
+            build_chain_deltas,
+            pack_hrow_strand,
+        )
 
-        prev_w, chain_b, next_w = build_chain_tables(
+        chains16, step_p = build_chain_deltas(
             np.asarray(p.wpos), np.asarray(p.hash_pos_order),
             np.asarray(p.contig_offsets),
         )
-        from ..ops.batch_map import HROW_PAD, pack_hrow_strand
-
+        max_step_common = max(max_step_common, step_p)
         hrow = np.searchsorted(
             np.asarray(p.hash_sorted, np.uint32),
             np.asarray(p.hash_pos_order, np.uint32),
         ).astype(np.int32)
-        arrs["pos_tab"].append(np.stack([
-            arrs["wpos"][-1],
+        arrs["hs32"].append(
             pad1(pack_hrow_strand(hrow, np.asarray(p.strand)), m_max,
-                 HROW_PAD),
-            pad1(prev_w, m_max, np.int32(-(2**31))),
-            pad1(chain_b, m_max, np.int32(-2)),
-            pad1(next_w, m_max, np.int32(2**31 - 1)),
-        ]))
+                 HROW_PAD))
+        ch_pad = np.full((3, m_max), np.uint16(65535), np.uint16)
+        ch_pad[:, : p.n_minimizers] = chains16
+        arrs["chains16"].append(ch_pad)
         co = np.full(c_max + 1, p.n_minimizers, np.int32)
         co[: len(p.contig_offsets)] = p.contig_offsets.astype(np.int32)
         arrs["contig_offsets"].append(co)
@@ -215,6 +218,7 @@ def stack_shards(parts: List[SketchShard]):
     out["bisect_steps"] = steps_common
     out["lookup_mode"] = mode
     out["remix_e"] = int(remix_common or 0)
+    out["max_step"] = int(max_step_common)
     return out
 
 
@@ -237,8 +241,9 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     ax_shard, ax_data = mesh.axis_names
 
     def local(hash_sorted, pair_byhash, wpos, hash_pos, strand_pos,
-              pos_tab, contig_offsets, uniq_hash, uniq_start, bucket_start,
-              kv32, dir_packed, freq_thr, reads_l, lens_l, minhits):
+              hs32, chains16, contig_offsets, uniq_hash, uniq_start,
+              bucket_start, kv32, dir_packed, freq_thr, reads_l, lens_l,
+              minhits):
         # leading shard axis of size 1 inside the shard_map body
         shard = DeviceShard(
             hash_sorted=hash_sorted[0],
@@ -246,7 +251,8 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             wpos=wpos[0],
             hash_pos=hash_pos[0],
             strand_pos=strand_pos[0],
-            pos_tab=pos_tab[0],
+            hs32=hs32[0],
+            chains16=chains16[0],
             contig_offsets=contig_offsets[0],
             uniq_hash=uniq_hash[0],
             uniq_start=uniq_start[0],
@@ -258,6 +264,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
             bisect_steps=stacked["bisect_steps"],
             lookup_mode=stacked["lookup_mode"],
             remix_e=stacked.get("remix_e", 0),
+            max_step=stacked.get("max_step", 64),
         )
         q_hash, q_strand, s_size, _ = batch_sketch(cfg, reads_l, lens_l)
         c_seq, c_start, c_end, n_c, ovf = batch_l1(
@@ -283,7 +290,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(ax_shard),) * 13 + (P(ax_data), P(ax_data), P()),
+        in_specs=(P(ax_shard),) * 14 + (P(ax_data), P(ax_data), P()),
         out_specs=(P(None, ax_data), P(None, ax_data), P(None, ax_data)),
         check_vma=False,
     )
@@ -292,7 +299,7 @@ def sharded_map_step(mesh, stacked, cfg: MapKernelConfig, reads, read_lens,
     return jax.jit(fn)(
         stacked["hash_sorted"], stacked["pair_byhash"],
         stacked["wpos"], stacked["hash_pos"], stacked["strand_pos"],
-        stacked["pos_tab"],
+        stacked["hs32"], stacked["chains16"],
         stacked["contig_offsets"], stacked["uniq_hash"], stacked["uniq_start"],
         stacked["bucket_start"], stacked["kv32"], stacked["dir_packed"],
         stacked["freq_threshold"].reshape(-1, 1),

@@ -109,6 +109,86 @@ def ont_read(rng, genome: np.ndarray, length: int, sub: float = 0.06,
     return r
 
 
+def write_synth_db_dir(
+    path: str,
+    rng,
+    n_genera: int = 36,
+    species_per_genus: int = 3,
+    genome_len: int = 120_000,
+    intra_genus_divergence: float = 0.08,
+    homolog_pool: int = 20,
+    homolog_len: int = 8_000,
+    n_phyla: int = 3,
+) -> List[str]:
+    """Write a complete synthetic database DIRECTORY at realistic taxonomy
+    scale: the full L4->L2/L3 contract (DB.fa with kraken:taxid contig IDs,
+    taxonInfo.txt, contigNstats_windowSize_1000.txt, taxonomy/ dmp files —
+    buildDB.pl:470-593, taxTree.pm) over n_genera x species_per_genus
+    genomes with genus-level clustering (species within a genus diverge
+    ~intra_genus_divergence from a shared base genome) plus a cross-genus
+    homologous-segment pool, so leave-one-out inference has realistic
+    same-genus attractors for novel-read scoring
+    (validation.pm readLevelComparison categories, :433).
+
+    Returns the list of species taxon IDs (strings)."""
+    import os
+
+    os.makedirs(os.path.join(path, "taxonomy"), exist_ok=True)
+    pool = [_random_seq(rng, homolog_len) for _ in range(homolog_pool)]
+
+    def dmp_line(*fields):
+        return "\t|\t".join(str(f) for f in fields) + "\t|\n"
+
+    WINDOW = 1000
+    species_taxa: List[str] = []
+    names_f = open(os.path.join(path, "taxonomy", "names.dmp"), "w")
+    nodes_f = open(os.path.join(path, "taxonomy", "nodes.dmp"), "w")
+    names_f.write(dmp_line(1, "root", "", "scientific name"))
+    nodes_f.write(dmp_line(1, 1, "no rank"))
+    names_f.write(dmp_line(2, "Bacteria", "", "scientific name"))
+    nodes_f.write(dmp_line(2, 1, "superkingdom"))
+    for p in range(n_phyla):
+        names_f.write(dmp_line(10 + p, f"Phylum{p}", "", "scientific name"))
+        nodes_f.write(dmp_line(10 + p, 2, "phylum"))
+
+    fa = open(os.path.join(path, "DB.fa"), "w")
+    ti = open(os.path.join(path, "taxonInfo.txt"), "w")
+    ns = open(os.path.join(path, "contigNstats_windowSize_1000.txt"), "w")
+    gid0, sid0 = 100, 10_000
+    for g in range(n_genera):
+        genus_id = gid0 + g
+        phylum = 10 + g % n_phyla
+        names_f.write(dmp_line(genus_id, f"Genus{g}", "", "scientific name"))
+        nodes_f.write(dmp_line(genus_id, phylum, "genus"))
+        base = _random_seq(rng, genome_len)
+        for seg in pool:
+            if rng.random() < 0.3:
+                pos = int(rng.integers(0, genome_len - len(seg)))
+                base[pos : pos + len(seg)] = mutate_sub(
+                    rng, seg, float(rng.uniform(0.02, 0.08)))
+        for s in range(species_per_genus):
+            sid = sid0 + g * species_per_genus + s
+            species_taxa.append(str(sid))
+            names_f.write(dmp_line(sid, f"Species_g{g}_s{s}", "",
+                                   "scientific name"))
+            nodes_f.write(dmp_line(sid, genus_id, "species"))
+            genome = (base if s == 0
+                      else mutate_sub(rng, base, intra_genus_divergence))
+            cname = f"G{g}S{s}|kraken:taxid|{sid}|ACC{g}_{s}.1"
+            fa.write(f">{cname}\n")
+            seq = genome.tobytes().decode()
+            for j in range(0, len(seq), 80):
+                fa.write(seq[j : j + 80] + "\n")
+            ti.write(f"{sid} {cname}={len(genome)}\n")
+            nw = (len(genome) + WINDOW - 1) // WINDOW
+            ns.write(f"{sid}\t{cname}\t" + ";".join(["0"] * nw) + "\n")
+    for f in (fa, ti, ns, names_f, nodes_f):
+        f.close()
+    with open(os.path.join(path, "taxonomy", "merged.dmp"), "w") as f:
+        f.write("")
+    return species_taxa
+
+
 def make_ont_reads(rng, genomes: List[np.ndarray], n_reads: int,
                    min_len: int = 3000, max_len: int = 8000,
                    sub: float = 0.06, ins: float = 0.025,

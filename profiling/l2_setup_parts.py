@@ -137,15 +137,17 @@ def main():
             occ_w = jnp.where(occ_v, slice_one(dev.wpos, I32_MAX), I32_MAX)
             occ_h = jnp.where(occ_v, slice_one(dev.hash_pos, U32_MAX),
                               U32_MAX)
-            prev_w = slice_one(dev.pos_tab[2], I32_MIN)
-            chb = slice_one(dev.pos_tab[3], np.int32(-2))
-            next_ws = slice_one(dev.pos_tab[4], I32_MAX)
-            return occ_w, occ_h, prev_w, chb, next_ws
+            start2 = jnp.minimum(beg0, M - R)
+            shift = beg0 - start2
+            chl = jnp.roll(
+                jax.lax.dynamic_slice(dev.chains16, (0, start2), (3, R)),
+                -shift, axis=1).astype(jnp.int32)
+            return occ_w, occ_h, chl[0], chl[1], chl[2]
         return jax.vmap(one)(beg0s, n_occs)
 
     n_occ_d = jnp.minimum(last_d - beg0_d, R)
     t, sl = timeit(part_slices, beg0_d, n_occ_d)
-    print(f"  window slices (5x)           : {t*1000:7.2f} ms")
+    print(f"  window slices (wpos+hash+ch16): {t*1000:7.2f} ms")
     occ_w_d, occ_h_d = sl[0], sl[1]
 
     @jax.jit
@@ -184,7 +186,7 @@ def main():
             shift = beg0 - start2
             from metamaps_tpu.ops.batch_map import HROW_MASK
             hr = jnp.roll(
-                jax.lax.dynamic_slice(dev.pos_tab[1], (start2,), (R,)),
+                jax.lax.dynamic_slice(dev.hs32, (start2,), (R,)),
                 -shift) & HROW_MASK
             v = 2 * hr[:, None] + 1
             qrank = jnp.sum((q[None, :SC] < v).astype(jnp.int32), axis=1)

@@ -169,8 +169,9 @@ def main():
     engine = JaxMapperEngine(shard, params, read_len_buckets=(8192,),
                              device_shard=dev, hits_max=16384)
     sub = reads[:N_E2E]
-    engine.map_reads(sub)  # warm 1: seed route plan (host-routed L2)
-    engine.map_reads(sub)  # warm 2: compile the device-routed kernels
+    engine.map_reads(sub)  # warm 1: seed route/expansion plans (host-routed)
+    engine.map_reads(sub)  # warm 2: compile the fused chunk kernel
+    engine.map_reads(sub)  # warm 3: absorb any plan adaptation recompile
     best = None
     for _ in range(3):
         engine.stats["phase_s"].clear()

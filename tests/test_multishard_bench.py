@@ -59,7 +59,7 @@ def test_padded_tables_output_invariant(shards):
     tables = [DeviceShard.host_tables(s) for s in sketch_shards]
     padded = _pad_tables_common([dict(t) for t in tables], verbose=False)
     assert padded[0]["hash_sorted"].shape == padded[1]["hash_sorted"].shape
-    assert padded[0]["pos_tab"].shape == padded[1]["pos_tab"].shape
+    assert padded[0]["chains16"].shape == padded[1]["chains16"].shape
     assert int(padded[0]["freq_threshold"]) == int(padded[1]["freq_threshold"])
 
     params = Parameters(kmer_size=16, window_size=16, min_read_length=2000,
