@@ -376,7 +376,10 @@ def _pad_tables_common(tables_list, verbose=True):
 
     max_step_common = max(int(t.get("max_step", 64)) for t in tables_list)
     padded = []
-    for t in tables_list:
+    for i in range(len(tables_list)):
+        t = tables_list[i]
+        tables_list[i] = None  # consume destructively: at 8 x 1 Gbp shards
+        # holding originals + padded copies together would double ~40 GB
         p = dict(t)
         p["hash_sorted"] = pad1(t["hash_sorted"], m_max, np.uint32(0xFFFFFFFF))
         p["pair_byhash"] = pad1(t["pair_byhash"], m_max, i32max)
@@ -462,16 +465,21 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
         engine = JaxMapperEngine(shards[i], params, read_len_buckets=(8192,),
                                  device_shard=dshard, hits_max=16384)
         if i == 0:
-            # TWO full warm passes: the first is host-routed and seeds the
-            # adaptive route plan, the second compiles the device-routed
-            # kernels that plan selects — so every shard's timed pass
-            # (incl. shard 0's) measures mapping, not compilation
-            engine.map_reads(reads)
-            engine.map_reads(reads)
+            # full warm passes until the adaptive plans stop changing (the
+            # first seeds the plans host-routed, the second compiles the
+            # fused kernels, later ones absorb plan-adoption recompiles) —
+            # so every shard's timed pass measures mapping, not compilation
+            for _ in range(4):
+                before = (dict(engine._exp_plan), dict(engine._route_plan))
+                engine.map_reads(reads)
+                if (dict(engine._exp_plan),
+                        dict(engine._route_plan)) == before:
+                    break
             warm_state = (engine._configs, engine._route_plan,
                           engine._route_rates, engine._spec_tier,
                           engine._spec_need, engine._exp_plan,
                           engine._exp_rates)
+            engine.freeze_plans = True
         else:
             # inherit the warmed route plans/configs: identical compiled
             # shapes across the swap loop, so later shards route straight
@@ -486,6 +494,7 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
             engine._spec_need = dict(warm_state[4])
             engine._exp_plan = dict(warm_state[5])
             engine._exp_rates = {k: dict(v) for k, v in warm_state[6].items()}
+            engine.freeze_plans = True
         t0 = time.perf_counter()
         all_results.append(engine.map_reads(reads))
         map_s.append(round(time.perf_counter() - t0, 3))
@@ -601,7 +610,15 @@ def run_mapping_bench(engine, reads, warm=2, passes=3):
     hides the shared tunnel's ±15% variance (profiling/README.md)."""
     for _ in range(warm):
         engine.map_reads(reads[:256])
-    engine.map_reads(reads)
+    # full-set warm passes until the adaptive plans stop changing (a plan
+    # adoption mid-timed-pass recompiles the fused kernel and poisons that
+    # pass with ~1 min of compilation)
+    for _ in range(4):
+        plans_before = (dict(engine._exp_plan), dict(engine._route_plan))
+        engine.map_reads(reads)
+        if (dict(engine._exp_plan), dict(engine._route_plan)) == plans_before:
+            break
+    engine.freeze_plans = True
     times = []
     results = None
     for _ in range(passes):
@@ -801,9 +818,24 @@ def main():
                                       len(reads))
         detail["unify_s"] = round(time.perf_counter() - t0, 2)
         if "--dump-mappings" in sys.argv:
+            from metamaps_tpu.io.mappings import (
+                write_meta,
+                write_parameters_file,
+                write_unmapped_lengths,
+            )
+
             fn = sys.argv[sys.argv.index("--dump-mappings") + 1]
             with open(fn, "w") as f:
                 f.write("\n".join(merged_lines) + "\n")
+            mapped_ids = {ln.split(" ", 1)[0] for ln in merged_lines}
+            write_meta(fn, len(reads), 0, len(mapped_ids),
+                       len(reads) - len(mapped_ids))
+            write_unmapped_lengths(fn, [
+                (len(reads[r]), f"read{r}") for r in range(len(reads))
+                if f"read{r}" not in mapped_ids
+            ])
+            params.reference_size = detail["db_bases"]
+            write_parameters_file(fn, params)
             print(f"# mappings dumped: {len(merged_lines)} lines -> {fn}",
                   flush=True)
         em_real = em_bench_realdist(merged_lines, shards_for_em)

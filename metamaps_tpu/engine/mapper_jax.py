@@ -166,6 +166,10 @@ class JaxMapperEngine:
         # instantly and decay slowly like the L2 route rates
         self._exp_plan: Dict[int, Tuple[Tuple[int, int], ...]] = {}
         self._exp_rates: Dict[int, Dict[int, float]] = {}
+        # benches/steady services can freeze the adaptive plans: adaptation
+        # keeps outputs identical but a plan adoption recompiles the fused
+        # kernel (~1 min through the tunnel) — poison for a timed pass
+        self.freeze_plans = False
         # adaptive device-routing plan per bucket: (tiers, caps) — see
         # _adapt_route_plan. The first chunk of a bucket runs the
         # host-routed path and seeds the plan from observed tier rates.
@@ -545,7 +549,9 @@ class JaxMapperEngine:
         fused-kernel shapes stay stable. The plan grows immediately when a
         chunk escalated (undersized); a changed desired plan is otherwise
         adopted only after 8 consecutive chunks (a plan change recompiles
-        the fused kernel)."""
+        the fused kernel). No-op while plans are frozen."""
+        if self.freeze_plans and bucket in self._exp_plan:
+            return
         tiers = _l1_h_tiers(cfg.hits_max)
         tot = np.clip(np.asarray(totals), 1, cfg.hits_max)
         t_idx = np.searchsorted(tiers, tot, side="left")
@@ -736,6 +742,14 @@ class JaxMapperEngine:
         return shared, mean_pos, votes, l2_ovf
 
     def _adapt_route_plan(self, cfg, bucket, host, n_chunk, n_overflow=0):
+        """Grow the bucket's device-routing slab plan from this chunk's
+        observed rates (no-op while plans are frozen)."""
+        if self.freeze_plans and bucket in self._route_plan:
+            return
+        self._adapt_route_plan_impl(cfg, bucket, host, n_chunk, n_overflow)
+
+    def _adapt_route_plan_impl(self, cfg, bucket, host, n_chunk,
+                               n_overflow=0):
         """Grow the bucket's device-routing slab plan from this chunk's
         observed per-tier candidate rates (per read, so capacities scale to
         full chunks). The plan lays slabs over the (n_occ, s)-descending

@@ -165,13 +165,16 @@ def compute_u_mapping_qualities(locations: List[ULocation], im: IdentityManager,
             l.mapq = float(ri_p @ il[:, lo])
         elif hi > lo:  # indirect with nonzero shift bins
             qual = ident_mat[:, lo:hi] > min_ri_frac
-            terms = np.where(qual, sp[None, :] * il[:, lo:hi], 0.0)
-            p_sum = terms.sum(axis=1)
             any_qual = qual.any(axis=1)
-            # the reference divides by the running p_sum per qualifying
-            # term (assert p_sum > 0, fU.h:155-362) — with the full-sum
-            # denominator the per-identity contribution is exactly 1
-            assert (p_sum[any_qual] > 0).all()
+            # the reference divides each qualifying term by the summed
+            # p_sum (fU.h:155-362), so the per-identity indirect
+            # contribution is EXACTLY 1 whenever any shift term qualifies —
+            # p_sum itself never enters the value. At bench-scale sketch
+            # sizes (s ~ 500-900) the binomial likelihoods can underflow
+            # float64 to 0.0 even for qualifying terms; the mathematical
+            # term/p_sum ratios still sum to 1, so no assert on p_sum > 0
+            # (the reference never met this regime — its assert guards a
+            # division we do not perform).
             l.mapq = float(ri_p @ np.where(any_qual, 1.0, 0.0))
         else:
             l.mapq = 0.0

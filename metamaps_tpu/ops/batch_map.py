@@ -1650,7 +1650,8 @@ def _l2_pallas_batch(cfg: MapKernelConfig, shard: DeviceShard, q_key,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
-                  read_lens, cand_seq, cand_start, cand_end, q_key=None):
+                  read_lens, cand_seq, cand_start, cand_end, q_key=None,
+                  q_strand=None):
     """L2 scoring for flattened (read, candidate) pairs.
 
     Inputs: q_hash [N,S], sketch_size [N], read_lens [N], cand_* [N]
@@ -1660,7 +1661,11 @@ def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
 
     Returns per candidate: shared [N] int32, mean_pos [N] int32,
     opt_beg [N] int32, opt_end [N] int32 (absolute occurrence indices of the
-    first maximal state's map range), overflow [N] bool.
+    first maximal state's map range), overflow [N] bool — plus strand votes
+    [N] int32 as a sixth output when ``q_strand`` [N,S] is given (on the
+    pallas path the votes ride the slab's already-sliced window,
+    _l2_pallas_batch; the scatter/matmul paths fall back to the standalone
+    vote merge).
     """
     if cfg.l2_path == "pallas":
         if q_key is None:
@@ -1685,11 +1690,17 @@ def batch_l2_slab(cfg: MapKernelConfig, shard: DeviceShard, q_hash, sketch_size,
             )
         return _l2_pallas_batch(
             cfg, shard, q_key, sketch_size, read_lens,
-            cand_seq, cand_start, cand_end,
+            cand_seq, cand_start, cand_end, q_strand=q_strand,
         )
     one = _make_l2_one(cfg, shard)
     flat = (q_hash, sketch_size, read_lens, cand_seq, cand_start, cand_end)
-    return jax.lax.map(lambda xs: one(*xs), flat, batch_size=cfg.l2_chunk)
+    res = jax.lax.map(lambda xs: one(*xs), flat, batch_size=cfg.l2_chunk)
+    if q_strand is None:
+        return res
+    votes = jax.vmap(_make_strand_votes(cfg, shard))(
+        q_hash, q_strand, sketch_size, res[2], res[3]
+    )
+    return res + (votes,)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -36,7 +36,6 @@ from ..ops.batch_map import (
     batch_l1,
     batch_l2_slab,
     batch_sketch,
-    _make_strand_votes,
 )
 from ..params import Parameters
 from .mesh import make_mesh_2d
@@ -152,12 +151,13 @@ def _make_sharded_step(mesh, cfg: MapKernelConfig, stacked):
         )
         B, C = c_seq.shape
         rd = jnp.repeat(jnp.arange(B), C)
-        sh, mp, ob, oe, l2o = batch_l2_slab(
+        # strand votes ride the L2 slab (the pallas path reuses the
+        # already-sliced occurrence window instead of a second vmapped
+        # slice+merge per candidate — r3's mesh-path perf gap)
+        sh, mp, ob, oe, l2o, votes = batch_l2_slab(
             cfg, shard, q_hash[rd], s_size[rd], lens_l[rd],
             c_seq.reshape(-1), c_start.reshape(-1), c_end.reshape(-1),
-        )
-        votes = jax.vmap(_make_strand_votes(cfg, shard))(
-            q_hash[rd], q_strand[rd], s_size[rd], ob, oe
+            q_strand=q_strand[rd],
         )
         grid = jnp.stack(
             [
@@ -287,8 +287,10 @@ class ShardedMapperEngine:
                 chunk = idxs[lo : lo + Bg]
                 reads = np.full((Bg, bucket), ord("A"), np.uint8)
                 lens = np.zeros(Bg, np.int32)
-                for r in range(Bg):
-                    i = chunk[r] if r < len(chunk) else chunk[0]
+                # padding rows stay empty (lens 0 -> zero sketch, no L1
+                # hits, no L2 work) instead of re-mapping chunk[0]
+                for r in range(len(chunk)):
+                    i = chunk[r]
                     reads[r, : len(seqs[i])] = seqs[i]
                     lens[r] = len(seqs[i])
                 g_grid, g_l1, s_size, s_ovf = step(

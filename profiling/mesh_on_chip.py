@@ -72,6 +72,50 @@ def main():
     print(f"OK: mesh product path on {jax.default_backend()} byte-identical "
           f"to plain ({n} mapping lines)", flush=True)
 
+    # ---- mesh-vs-plain steady-state cost ratio (VERDICT r3 item 6) -------
+    # same shard, same reads, both engines warmed; the mesh engine runs
+    # shard=1,data=1 so any overhead is pure mesh-path cost (shard_map
+    # plumbing, worst-case L2 slabs instead of adaptive routing)
+    from metamaps_tpu.engine.index import SketchShard
+    from metamaps_tpu.engine.mapper_jax import JaxMapperEngine
+    from metamaps_tpu.io.fasta import read_sequences
+    from metamaps_tpu.ops.winnow import winnow_fast
+    from metamaps_tpu.parallel.sharded_engine import ShardedMapperEngine
+    from metamaps_tpu.params import Parameters
+
+    params = Parameters(kmer_size=16, window_size=16, min_read_length=2000,
+                        percentage_identity=80.0, report_all=True)
+    shard = SketchShard()
+    parts = []
+    for i, (name, seq) in enumerate(read_sequences(ref_fa)):
+        h, p, s = winnow_fast(seq, 16, 16)
+        parts.append((h, p, s, i))
+        shard.contig_names.append(name)
+        shard.contig_lengths.append(len(seq))
+    shard.finalize(parts)
+    reads = [seq for _, seq in read_sequences(reads_fq)] * 16  # 256 reads
+
+    def steady(map_fn, n=3):
+        map_fn(reads)
+        map_fn(reads)
+        map_fn(reads)
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            map_fn(reads)
+            best = min(best, time.time() - t0)
+        return best
+
+    plain_eng = JaxMapperEngine(shard, params, read_len_buckets=(4096,))
+    t_plain = steady(plain_eng.map_reads)
+    mesh_eng = ShardedMapperEngine(shard, params, 1, 1,
+                                   read_len_buckets=(4096,),
+                                   rows_per_device=256)
+    t_mesh = steady(mesh_eng.map_reads)
+    ratio = t_mesh / t_plain
+    print(f"steady-state cost, {len(reads)} reads: plain {t_plain:.3f}s, "
+          f"mesh(1x1) {t_mesh:.3f}s -> ratio {ratio:.2f}x", flush=True)
+
 
 if __name__ == "__main__":
     main()
