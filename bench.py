@@ -26,6 +26,11 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".bench_cache")
 LARGE_BASES = int(os.environ.get("METAMAPS_TPU_BENCH_BASES", 1_000_000_000))
 LARGE_SEED = 20260820
+# dense read-length ladder over the bench's 3000-8000 bp ONT reads: every
+# kernel shape (sketch width, lookup lanes, L2 columns) derives from the
+# read's bucket, so a single 8192 bucket ran ~5500 bp mean reads at
+# worst-case-length shapes (~2x padding on the lookup's gather lanes)
+BENCH_BUCKETS = (3072, 4096, 5120, 6144, 7168, 8192)
 # bump whenever DeviceShard.host_tables layout changes (stale .bench_cache
 # entries are rebuilt — or migrated when cheap — instead of silently
 # loading an old table format); version 2 == the remix/block9p layout
@@ -462,7 +467,7 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
         jax.block_until_ready(dshard.hash_sorted)
         swap_s.append(round(time.perf_counter() - t0, 1))
         hbm_b = dshard.hbm_bytes()
-        engine = JaxMapperEngine(shards[i], params, read_len_buckets=(8192,),
+        engine = JaxMapperEngine(shards[i], params, read_len_buckets=BENCH_BUCKETS,
                                  device_shard=dshard, hits_max=16384)
         if i == 0:
             # full warm passes until the adaptive plans stop changing (the
@@ -747,7 +752,7 @@ def main():
         t0 = time.perf_counter()
         genomes, shard = build_db_quick(rng, n_genomes=2, genome_len=1_000_000)
         t_db = time.perf_counter() - t0
-        engine = JaxMapperEngine(shard, params, read_len_buckets=(8192,))
+        engine = JaxMapperEngine(shard, params, read_len_buckets=BENCH_BUCKETS)
         reads = make_reads_quick(rng, genomes, 512)
         times, results = run_mapping_bench(engine, reads)
         detail = {
@@ -774,7 +779,7 @@ def main():
             flush=True,
         )
         engine = JaxMapperEngine(
-            shard, params, read_len_buckets=(8192,), device_shard=dshard,
+            shard, params, read_len_buckets=BENCH_BUCKETS, device_shard=dshard,
             hits_max=16384,
         )
         times, results = run_mapping_bench(engine, reads)

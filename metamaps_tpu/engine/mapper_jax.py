@@ -68,16 +68,18 @@ def _acceptance(shared: int, s: int, k: int, pi: float) -> Tuple[float, float, b
 
 
 def _l2_range_buckets(range_max: int) -> List[int]:
-    """Range-capacity ladder up to the config's worst case (~1.5x steps:
-    the L2 cost is ~range^2, so a tighter ladder cuts padding waste; each
-    extra tier costs one compile per sketch-column tier)."""
+    """Range-capacity ladder up to the config's worst case (~1.3x steps:
+    the L2 sweep cost is ~linear in the range capacity, so a tighter ladder
+    cuts padding waste; only tiers the adaptive route plan actually selects
+    ever compile, so a dense ladder costs compiles proportional to the
+    workload's real occupancy spread, not the ladder length)."""
     rs: List[int] = []
     r = 512
     while r < range_max:
         rs.append(r)
-        r = _round_up(int(r * 1.5), 128)
+        r = _round_up(int(r * 1.3), 128)
     # drop a penultimate tier nearly as big as the worst case
-    rs = [t for t in rs if t < 0.87 * range_max]
+    rs = [t for t in rs if t < 0.9 * range_max]
     rs.append(range_max)
     return rs
 
@@ -112,7 +114,16 @@ class JaxMapperEngine:
     # fetch round trips against device compute; ~2.5 ms fixed cost per
     # dispatch favors big chunks)
 
-    def __init__(self, shard, params, read_len_buckets: Sequence[int] = (2048, 4096, 8192, 16384, 32768, 65536),
+    # default read-length ladder: dense ~1.2x steps through the common ONT
+    # range, coarser beyond. Every kernel shape (sketch width, lookup lanes,
+    # expansion sorts, L2 columns) derives from the read's bucket, so a read
+    # in a 2x-oversized bucket pays ~2x on every stage; a dense ladder keeps
+    # the padded length within ~20% of the real length. Only buckets a
+    # workload actually hits compile anything.
+    DEFAULT_BUCKETS = (1024, 2048, 3072, 4096, 5120, 6144, 7168, 8192,
+                       10240, 12288, 16384, 24576, 32768, 49152, 65536)
+
+    def __init__(self, shard, params, read_len_buckets: Sequence[int] = None,
                  device_shard: DeviceShard = None, hits_max: int = None):
         """``device_shard`` reuses a prebuilt/uploaded index (large-scale
         benches cache the host tables on disk); ``hits_max`` raises the L1
@@ -144,6 +155,8 @@ class JaxMapperEngine:
             65536 - self.device_shard.max_step + (k_w or 32) - 2
             if k_w is not None else 65536
         )
+        if read_len_buckets is None:
+            read_len_buckets = self.DEFAULT_BUCKETS
         self.hits_max_override = hits_max
         # phase_s: cumulative wall seconds per map_reads phase (dispatch =
         # host enqueue work, fetch = the combined device round trip, esc =
@@ -208,6 +221,13 @@ class JaxMapperEngine:
                 results[i] = mapper_oracle.map_read(self.shard, self.params, s)
             else:
                 by_bucket.setdefault(b, []).append(i)
+        # buckets with more than one chunk pad their trailing partial chunk
+        # to the full CHUNK shape: one compiled batch shape per bucket
+        # instead of a fresh fused-kernel compile for each distinct tail
+        # size (small single-chunk workloads keep tight power-of-2 shapes)
+        self._full_shape_buckets = {
+            b for b, idxs in by_bucket.items() if len(idxs) > self.CHUNK
+        }
 
         # phase 1: per chunk, enqueue sketch+lookup immediately followed by
         # a SPECULATIVE expansion at the bucket's adaptive default H tier
@@ -430,19 +450,27 @@ class JaxMapperEngine:
         _ph("collect", time.perf_counter() - t_ph)
         return results
 
+    def _b_pad(self, bucket: int, B: int) -> int:
+        """Compiled batch-row count for a chunk of B reads: round up to a
+        power of two (capped at CHUNK) so XLA compiles at most ~5 shapes per
+        bucket instead of one per distinct chunk size; padding rows repeat a
+        real read and are never read back. Buckets that chunked more than
+        once this call use the full CHUNK shape even for their tail chunk —
+        the tail otherwise compiles a second full fused-kernel variant."""
+        if bucket in getattr(self, "_full_shape_buckets", ()):
+            return self.CHUNK
+        b_pad = 8
+        while b_pad < B:
+            b_pad *= 2
+        return min(max(b_pad, B), self.CHUNK)
+
     def _dispatch_stage1a(self, cfg, bucket, idxs, seqs):
         import jax.numpy as jnp
 
         from ..ops.batch_map import map_batch_stage1a
 
         B = len(idxs)
-        # round the batch up to a power of two (capped at CHUNK) so XLA
-        # compiles at most ~5 shapes per bucket instead of one per distinct
-        # chunk size; padding rows repeat a real read and are never read back
-        b_pad = 8
-        while b_pad < B:
-            b_pad *= 2
-        b_pad = min(max(b_pad, B), self.CHUNK)
+        b_pad = self._b_pad(bucket, B)
         reads = np.full((b_pad, bucket), ord("A"), np.uint8)
         lens = np.zeros(b_pad, np.int32)
         for r in range(b_pad):
@@ -471,10 +499,7 @@ class JaxMapperEngine:
         from ..ops.batch_map import map_batch_chunk
 
         B = len(idxs)
-        b_pad = 8
-        while b_pad < B:
-            b_pad *= 2
-        b_pad = min(max(b_pad, B), self.CHUNK)
+        b_pad = self._b_pad(bucket, B)
         reads = np.full((b_pad, bucket), ord("A"), np.uint8)
         lens = np.zeros(b_pad, np.int32)
         for r in range(b_pad):
@@ -670,9 +695,18 @@ class JaxMapperEngine:
         return (s_size, s_ovf, c_seq, c_start, c_end, n_c, l1_ovf, n_occ)
 
     def _l2_sc_tiers(self, cfg) -> Tuple[int, ...]:
+        """Sketch-column ladder for the L2 slabs (the sweep's shared-count
+        reduction and qrank compares scale with the column count, so a
+        dense ladder keeps each slab's columns near its members' real
+        sketch sizes). 128-steps to 1024, ~1.25x beyond; only tiers the
+        route plan selects compile."""
+        ladder = [256, 384, 512, 640, 768, 896, 1024]
+        x = 1280
+        while x < cfg.sketch_max:
+            ladder.append(x)
+            x = _round_up(int(x * 1.25), 128)
         return tuple(
-            [x for x in (256, 512, 1024) if x < cfg.sketch_max]
-            + [cfg.sketch_max]
+            [t for t in ladder if t < cfg.sketch_max] + [cfg.sketch_max]
         )
 
     @staticmethod
