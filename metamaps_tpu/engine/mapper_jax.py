@@ -1001,65 +1001,63 @@ class JaxMapperEngine:
         pi = float(self.params.percentage_identity)
         # one vectorized acceptance pass over every candidate slot (float32
         # narrowing identical to the scalar _acceptance; see stats fuzz)
+        s_host = np.asarray(s_size)[:B]
         nuc_all, ub_all, ok_all = stats.acceptance_vec(
-            shared, np.asarray(s_size)[:B, None], k, pi
+            shared, s_host[:, None], k, pi
         )
-        n_fallback = 0
-        t_votes = 0.0
-        # bulk-convert the per-candidate grids to python lists once — scalar
-        # numpy indexing in the loop below costs ~50x a list index
         need_fb = np.asarray(fallback) | l2_ovf.any(axis=1)
-        shared_l = shared.tolist()
-        mean_l = mean_pos.tolist()
-        votes_l = votes_arr.tolist()
-        ok_l = ok_all.tolist()
-        nuc_l = nuc_all.tolist()
-        ub_l = ub_all.tolist()
-        cseq_l = np.asarray(c_seq).tolist()
-        ssize_l = np.asarray(s_size)[:B].tolist()
-        nc_l = np.asarray(n_c).tolist()
-        lens_l = lens.tolist()
+        # vectorized accepted-slot selection: only the ~1-2 accepted
+        # candidates per read surface as python work (the old loop walked
+        # every B x C slot; host cores are the scarce resource here)
+        slot_live = (
+            (np.arange(C)[None, :] < np.asarray(n_c)[:B, None])
+            & ok_all[:B]
+            & ~need_fb[:, None]
+            & (s_host > 0)[:, None]
+        )
+        rr, cc = np.nonzero(slot_live)
+        sh_v = shared[rr, cc]
+        hit = sh_v > 0
+        pos_v = np.where(hit, mean_pos[rr, cc], 0)
+        strand_v = np.where(hit & (votes_arr[rr, cc] > 0), 1, -1)
+        rows = np.stack(
+            [
+                lens[rr], pos_v, pos_v + lens[rr] - 1,
+                np.asarray(c_seq)[rr, cc], s_host[rr], sh_v, strand_v,
+            ],
+            axis=1,
+        ).tolist()
+        nuc_l = nuc_all[rr, cc].tolist()
+        ub_l = ub_all[rr, cc].tolist()
+        out_by_r: List[List[ReadMapping]] = [[] for _ in range(B)]
+        for t, r in enumerate(rr.tolist()):
+            ln, pos, pend, sq, s, sh, strand = rows[t]
+            out_by_r[r].append(
+                ReadMapping(
+                    query_len=ln,
+                    ref_start=pos,
+                    ref_end=pend,
+                    ref_seqid=sq,
+                    nuc_identity=nuc_l[t],
+                    nuc_identity_ub=ub_l[t],
+                    sketch_size=s,
+                    conserved=sh,
+                    strand=strand,
+                )
+            )
+        n_fallback = 0
         for r, i in enumerate(idxs):
             if need_fb[r]:
                 n_fallback += 1
                 self.stats["oracle_fallbacks"] += 1
-                results[i] = mapper_oracle.map_read(self.shard, self.params, seqs[i])
-                continue
-            s = ssize_l[r]
-            if s == 0:
-                results[i] = []
-                continue
-            out: List[ReadMapping] = []
-            sh_r, ok_r = shared_l[r], ok_l[r]
-            ln = lens_l[r]
-            for c in range(nc_l[r]):
-                if not ok_r[c]:
-                    continue
-                sh = sh_r[c]
-                if sh > 0:
-                    strand = 1 if votes_l[r][c] > 0 else -1
-                    pos = mean_l[r][c]
-                else:
-                    strand = -1
-                    pos = 0
-                out.append(
-                    ReadMapping(
-                        query_len=ln,
-                        ref_start=pos,
-                        ref_end=pos + ln - 1,
-                        ref_seqid=cseq_l[r][c],
-                        nuc_identity=nuc_l[r][c],
-                        nuc_identity_ub=ub_l[r][c],
-                        sketch_size=s,
-                        conserved=sh,
-                        strand=strand,
-                    )
-                )
-            results[i] = out
+                results[i] = mapper_oracle.map_read(self.shard, self.params,
+                                                    seqs[i])
+            else:
+                results[i] = out_by_r[r]
         if _PROFILE:
             print(
                 f"PROFILE mapper_jax: postprocess B={B} "
                 f"{time.perf_counter() - t_post:.3f}s "
-                f"fallbacks={n_fallback} votes={t_votes:.3f}s",
+                f"fallbacks={n_fallback}",
                 file=sys.stderr,
             )

@@ -270,6 +270,100 @@ def build_block9p_tables(uniq: np.ndarray, uniq_start: np.ndarray,
     return kv32, dir_packed
 
 
+BLOCK9W_STRIDE = 24  # uniques per kv64 row step
+BLOCK9W_WIDTH = 32  # key (and value) lanes per kv64 row
+
+
+def build_block9w_tables(uniq: np.ndarray, uniq_start: np.ndarray,
+                         bucket_start: np.ndarray):
+    """'block9w' layout: block9p's one-row-gather lookup at 2/3 the HBM.
+
+    block9p rows advance 8 uniques but carry 16 (every entry stored twice,
+    16 B/unique). Here rows advance BLOCK9W_STRIDE=24 uniques and carry
+    BLOCK9W_WIDTH=32 — duplication 32/24, 10.7 B/unique — in a [R, 64]
+    uint32 row (32 keys + 32 packed start<<5|count values, 256 B, still one
+    aligned row gather; random-gather cost is issue-rate bound, not
+    row-size bound — profiling/README.md gather findings). Coverage: any
+    bucket [lo, lo+9) with r0 = lo // 24 has lo - 24*r0 <= 23, so its
+    entries live at in-row offsets <= 23 + 8 = 31. Same applicability
+    gates and rank semantics as block9p (build_block9p_tables)."""
+    U = len(uniq)
+    rows_k = U // BLOCK9W_STRIDE + 3
+    flat_len = rows_k * BLOCK9W_STRIDE + BLOCK9W_WIDTH
+    keys_flat = np.full(flat_len, U32_MAX, np.uint32)
+    keys_flat[:U] = uniq
+    counts = np.minimum(
+        (uniq_start[1:].astype(np.int64) - uniq_start[:-1].astype(np.int64)),
+        BLOCK9P_COUNT_CAP,
+    ).astype(np.uint32)
+    packed_flat = np.full(
+        flat_len, np.uint32(uniq_start[-1]) << np.uint32(5), np.uint32
+    )
+    packed_flat[:U] = (
+        uniq_start[:-1].astype(np.uint32) << np.uint32(5)
+    ) | counts
+    kv64 = _rewindow_block9w(keys_flat, packed_flat, rows_k)
+    lo = bucket_start[:-1].astype(np.uint32)
+    sz = (bucket_start[1:] - bucket_start[:-1]).astype(np.uint32)  # <= 9
+    dir_packed = lo | (sz << np.uint32(28))
+    return kv64, dir_packed
+
+
+def _rewindow_block9w(keys_flat: np.ndarray, packed_flat: np.ndarray,
+                      rows_k: int) -> np.ndarray:
+    """Window padded flat (key, packed) planes into block9w's [R, 64]
+    rows (stride-24 width-32 views — no index materialization)."""
+    kv64 = np.empty((rows_k, 2 * BLOCK9W_WIDTH), np.uint32)
+    win_k = np.lib.stride_tricks.sliding_window_view(keys_flat, BLOCK9W_WIDTH)
+    win_p = np.lib.stride_tricks.sliding_window_view(packed_flat,
+                                                     BLOCK9W_WIDTH)
+    kv64[:, :BLOCK9W_WIDTH] = win_k[: rows_k * BLOCK9W_STRIDE : BLOCK9W_STRIDE]
+    kv64[:, BLOCK9W_WIDTH:] = win_p[: rows_k * BLOCK9W_STRIDE : BLOCK9W_STRIDE]
+    return kv64
+
+
+def block9p_rows_to_9w(kv32: np.ndarray) -> np.ndarray:
+    """Convert cached block9p rows to the block9w layout without the uniq
+    tables (disk caches keep the v4 block9p format; the diet happens at
+    upload). block9p row r carries uniques [8r, 8r+16), so lanes [:8] /
+    [16:24] of each row are exactly the contiguous flat key/value planes."""
+    keys_flat = np.ascontiguousarray(kv32[:, :8]).reshape(-1)
+    packed_flat = np.ascontiguousarray(kv32[:, 16:24]).reshape(-1)
+    n = len(keys_flat)
+    rows_k = n // BLOCK9W_STRIDE + 1
+    need = rows_k * BLOCK9W_STRIDE + BLOCK9W_WIDTH
+    # extend with block9p's own pad convention (pad keys U32_MAX; pad
+    # values inherit the last entry's "past everything" rank)
+    keys_flat = np.concatenate(
+        [keys_flat, np.full(need - n, U32_MAX, np.uint32)]
+    )
+    packed_flat = np.concatenate(
+        [packed_flat,
+         np.full(need - n, packed_flat[-1] & ~np.uint32(31), np.uint32)]
+    )
+    return _rewindow_block9w(keys_flat, packed_flat, rows_k)
+
+
+def pack_gpos(pair: np.ndarray, n_contigs: int):
+    """Pack the hit table's (seqid, wpos) rows into single uint32 global
+    positions gp = seqid << wb | wpos — half the HBM of pair_byhash, ONE
+    sort operand in the expansion's (seqid, wpos) hit sort, and the same
+    single-lane gather cost. Returns (gpos [M] uint32, wb) or (None, 0)
+    when the shard's (contig count, max position) don't fit 32 bits (the
+    many-contig fallback keeps pair_byhash). wb is sized so the padding
+    sentinel 0xFFFFFFFF exceeds every real gp (seqid <= 2^(32-wb) - 2)."""
+    if pair.size == 0:
+        return None, 0
+    max_pos = int(pair[:, 1].max(initial=0))
+    wb = max(1, int(np.ceil(np.log2(max_pos + 2))))
+    if n_contigs > (1 << (32 - wb)) - 1:
+        return None, 0
+    gp = (
+        (pair[:, 0].astype(np.int64) << wb) | pair[:, 1].astype(np.int64)
+    ).astype(np.uint32)
+    return gp, wb
+
+
 def finalize_lookup_tables(uniq, uniq_start, bucket_start, freq_threshold):
     """Pick the lookup mode for built uniq tables and materialize the block
     tables; returns (mode, uniq, uniq_start, bucket_start, kv32,
@@ -487,9 +581,10 @@ def build_chain_deltas(wpos: np.ndarray, hash_pos: np.ndarray,
         "bucket_start",
         "kv32",
         "dir_packed",
+        "gpos",
     ],
     meta_fields=["freq_threshold", "bucket_shift", "bisect_steps",
-                 "lookup_mode", "remix_e", "max_step"],
+                 "lookup_mode", "remix_e", "max_step", "gpos_bits"],
 )
 @dataclass
 class DeviceShard:
@@ -554,6 +649,11 @@ class DeviceShard:
     # contig — bounds the chain-delta clamp validity (build_chain_deltas);
     # the engine routes read buckets with L_max + max_step + 2 > 65535 to
     # the host oracle
+    gpos: jnp.ndarray = None  # [M] uint32: seqid << gpos_bits | wpos in
+    # hash order (pack_gpos) — replaces pair_byhash (half the HBM, one
+    # sort operand) when the shard's contig count / max position fit;
+    # None (with gpos_bits == 0) keeps the pair_byhash path
+    gpos_bits: int = 0  # wpos bit width of the gpos packing (0 = unpacked)
 
     @classmethod
     def host_tables(cls, shard) -> dict:
@@ -610,20 +710,45 @@ class DeviceShard:
         zero-size dummies — correct whenever every kernel traced against the
         shard uses the pallas L2 path (which reads the hs32/chains16 planes
         instead); saves 5 B/minimizer of HBM. Legacy cache entries with
-        extra standalone-plane keys are ignored."""
+        extra standalone-plane keys are ignored.
+
+        Two HBM diets apply here (disk caches keep the v4 host format —
+        the transforms are cheap strided numpy):
+
+        - block9p kv rows re-window into the block9w layout
+          (build_block9w_tables: 16 -> 10.7 B/unique, same one-row-gather
+          lookup);
+        - pair_byhash packs into the uint32 ``gpos`` plane when the
+          shard's contig count / positions fit (pack_gpos: 8 -> 4 B/entry,
+          one sort operand in the expansion)."""
+        mode = str(t["lookup_mode"])
         arrays = {
             k: jnp.asarray(t[k])
             for k in (
-                "hash_sorted", "pair_byhash", "wpos", "hash_pos",
+                "hash_sorted", "wpos", "hash_pos",
                 "strand_pos", "hs32", "chains16", "contig_offsets",
-                "uniq_hash", "uniq_start", "bucket_start", "kv32",
-                "dir_packed",
+                "uniq_hash", "uniq_start", "bucket_start", "dir_packed",
             )
         }
+        if mode == "block9p":
+            arrays["kv32"] = jnp.asarray(
+                block9p_rows_to_9w(np.asarray(t["kv32"]))
+            )
+            mode = "block9w"
+        else:
+            arrays["kv32"] = jnp.asarray(t["kv32"])
+        pair = np.asarray(t["pair_byhash"])
+        gp, wb = pack_gpos(pair, int(np.asarray(t["contig_offsets"]).shape[0]) - 1)
+        if wb:
+            arrays["gpos"] = jnp.asarray(gp)
+            arrays["pair_byhash"] = jnp.zeros((0, 2), jnp.int32)
+        else:
+            arrays["gpos"] = None
+            arrays["pair_byhash"] = jnp.asarray(pair)
         if drop_cpu_planes:
             arrays["hash_pos"] = jnp.zeros(0, jnp.uint32)
             arrays["strand_pos"] = jnp.zeros(0, jnp.int8)
-            if str(t["lookup_mode"]) != "bisect":
+            if mode != "bisect":
                 # block-mode lookups never touch hash_sorted; the pallas L2
                 # gets row-space keys from the lookup stage (q_key)
                 arrays["hash_sorted"] = jnp.zeros(0, jnp.uint32)
@@ -632,9 +757,10 @@ class DeviceShard:
             freq_threshold=int(t["freq_threshold"]),
             bucket_shift=int(t["bucket_shift"]),
             bisect_steps=int(t["bisect_steps"]),
-            lookup_mode=str(t["lookup_mode"]),
+            lookup_mode=mode,
             remix_e=int(t["remix_e"]) if "remix_e" in t else 0,
             max_step=int(t["max_step"]) if "max_step" in t else 64,
+            gpos_bits=wb,
         )
 
     @classmethod
@@ -750,7 +876,8 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
     Unlike count, qkey is NOT frequency-thresholded (sketch membership in
     the sliding map is threshold-independent, slidingMap.hpp init).
     """
-    if freq_threshold is not None and shard.lookup_mode == "block9p":
+    if freq_threshold is not None and shard.lookup_mode in ("block9p",
+                                                            "block9w"):
         # block9p stores 5-bit saturated counts (count = min(true, 31)); an
         # override above BLOCK9P_COUNT_CAP would silently KEEP truly
         # frequent entries (true count >= 32 reports 31 < thr). Build-time
@@ -846,6 +973,43 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
         arow = jnp.sum(
             jnp.where(
                 sel, jnp.where(past[..., None], s16 + c16, s16), 0
+            ),
+            axis=-1,
+        )
+    elif shard.lookup_mode == "block9w":
+        # wide-row variant of block9p (build_block9w_tables): rows advance
+        # 24 uniques carrying 32, so any bucket of size <= 9 lives at
+        # in-row offsets <= 31 of row lo // 24 — still 2 gathers per
+        # lookup at 2/3 the table HBM. Match/count/rank semantics are
+        # block9p's with 32-lane windows.
+        d = shard.dir_packed[b]
+        lo = (d & jnp.uint32(0x0FFFFFFF)).astype(jnp.int32)
+        sz = (d >> jnp.uint32(28)).astype(jnp.int32)
+        r0 = lo // BLOCK9W_STRIDE
+        row = jnp.take(shard.kv32, r0, axis=0)  # [B, S, 64]
+        k32 = row[..., :BLOCK9W_WIDTH]
+        p32 = row[..., BLOCK9W_WIDTH:]
+        s32 = (p32 >> jnp.uint32(5)).astype(jnp.int32)
+        c32 = (p32 & jnp.uint32(BLOCK9P_COUNT_CAP)).astype(jnp.int32)
+        g = (r0 * BLOCK9W_STRIDE)[..., None] + jnp.arange(
+            BLOCK9W_WIDTH, dtype=jnp.int32
+        )
+        in_b = (g >= lo[..., None]) & (g < (lo + sz)[..., None])
+        m = (k32 == q_hash[..., None]) & in_b
+        found = m.any(axis=-1)
+        start = jnp.sum(jnp.where(m, s32, 0), axis=-1).astype(jnp.int32)
+        count = jnp.sum(jnp.where(m, c32, 0), axis=-1).astype(jnp.int32)
+        cnt_lt = jnp.sum(
+            ((k32 < q_hash[..., None]) & in_b).astype(jnp.int32), axis=-1
+        )
+        past = (cnt_lt == sz) & (sz > 0)
+        idx32 = (
+            jnp.where(past, lo + sz - 1, lo + cnt_lt) - r0 * BLOCK9W_STRIDE
+        )
+        sel = jnp.arange(BLOCK9W_WIDTH, dtype=jnp.int32) == idx32[..., None]
+        arow = jnp.sum(
+            jnp.where(
+                sel, jnp.where(past[..., None], s32 + c32, s32), 0
             ),
             axis=-1,
         )
@@ -971,12 +1135,29 @@ def batch_l1_expand(cfg: MapKernelConfig, shard: DeviceShard, start, count,
     fstart, fprev = fstart[:, :H], fprev[:, :H]
     hit_valid = t[None, :] < total[:, None]
     idx = jnp.where(hit_valid, fstart + (t[None, :] - fprev), 0)
-    pair = jnp.take(shard.pair_byhash, idx, axis=0)  # [B, H, 2] one row gather
-    h_seq = jnp.where(hit_valid, pair[..., 0], I32_MAX)
-    h_pos = jnp.where(hit_valid, pair[..., 1], I32_MAX)
+    if shard.gpos_bits:
+        # packed plane: one u32 lane gather per hit AND one sort operand —
+        # gp = seqid << wb | wpos sorts in exactly the (seqid, wpos)
+        # lexicographic order (pack_gpos sizes wb so the 0xFFFFFFFF pad
+        # exceeds every real gp)
+        wb = shard.gpos_bits
+        gp = jnp.where(
+            hit_valid, jnp.take(shard.gpos, idx), jnp.uint32(0xFFFFFFFF)
+        )
+        gp = jax.lax.sort(gp, dimension=1)
+        pad = gp == jnp.uint32(0xFFFFFFFF)
+        h_seq = jnp.where(pad, I32_MAX, (gp >> wb).astype(jnp.int32))
+        h_pos = jnp.where(
+            pad, I32_MAX,
+            (gp & jnp.uint32((1 << wb) - 1)).astype(jnp.int32),
+        )
+    else:
+        pair = jnp.take(shard.pair_byhash, idx, axis=0)  # [B,H,2] row gather
+        h_seq = jnp.where(hit_valid, pair[..., 0], I32_MAX)
+        h_pos = jnp.where(hit_valid, pair[..., 1], I32_MAX)
 
-    # ---- sort hits by (seqid, wpos) --------------------------------------
-    h_seq, h_pos = jax.lax.sort((h_seq, h_pos), dimension=1, num_keys=2)
+        # ---- sort hits by (seqid, wpos) ----------------------------------
+        h_seq, h_pos = jax.lax.sort((h_seq, h_pos), dimension=1, num_keys=2)
 
     # ---- run-of-minimumHits candidate detection --------------------------
     m = jnp.maximum(minhits_table[sketch_size], 1).astype(jnp.int32)  # [B]

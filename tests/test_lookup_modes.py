@@ -355,3 +355,130 @@ def test_block16_full_l1_pipeline():
         ])
     for a, b in zip(*outs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_block9w_parity_and_rewindow():
+    """The wide-row mode (stride-24/width-32 rows, 10.7 B/unique) must be
+    query-for-query identical to block9p and bisect, and the upload-time
+    rewindow of cached block9p rows (block9p_rows_to_9w) must reproduce the
+    directly-built block9w table on every row that covers real entries."""
+    from metamaps_tpu.ops.batch_map import (
+        BLOCK9W_STRIDE, block9p_rows_to_9w, build_block9w_tables,
+    )
+
+    rng = np.random.default_rng(21)
+    h = rng.integers(0, 2**32, (120_000, 16), dtype=np.uint64).min(
+        axis=1
+    ).astype(np.uint32)
+    shard = _shard_from_hashes(h)
+    ds9, dsb = _force_block9p(shard)
+
+    hs = np.asarray(shard.hash_sorted, np.uint32)
+    for nb in range(14, 24):
+        u1, us1, bs1, sh1, st1, e1 = build_uniq_tables(hs, nb_bits=nb)
+        if int(np.max(np.diff(bs1))) <= 9:
+            break
+    kv64, dirw = build_block9w_tables(u1, us1, bs1)
+    kv64_rw = block9p_rows_to_9w(np.asarray(ds9.kv32))
+    rows_needed = (len(u1) - 1) // BLOCK9W_STRIDE + 1
+    np.testing.assert_array_equal(kv64[:rows_needed], kv64_rw[:rows_needed])
+    ds9w = dataclasses.replace(
+        ds9, lookup_mode="block9w", kv32=jnp.asarray(kv64),
+        dir_packed=jnp.asarray(dirw),
+    )
+
+    cfg = MapKernelConfig.for_read_len(2048, 16, 16, l2_impl="scatter")
+    S = cfg.sketch_max
+    rngq = np.random.default_rng(22)
+    qs = np.full((2, S), np.uint32(0xFFFFFFFF))
+    qs[0, :256] = rngq.choice(h, 256)
+    qs[1, :256] = rngq.integers(0, 2**32, 256, dtype=np.uint64).astype(
+        np.uint32
+    )
+    out9 = [np.asarray(x) for x in batch_lookup(cfg, ds9, jnp.asarray(qs))]
+    outw = [np.asarray(x) for x in batch_lookup(cfg, ds9w, jnp.asarray(qs))]
+    outb = [np.asarray(x) for x in batch_lookup(cfg, dsb, jnp.asarray(qs))]
+    for k in range(4):
+        np.testing.assert_array_equal(out9[k], outw[k])
+    np.testing.assert_array_equal(outb[1], outw[1])
+    live = outb[1] > 0
+    np.testing.assert_array_equal(outb[0][live], outw[0][live])
+    realq = qs != np.uint32(0xFFFFFFFF)
+    np.testing.assert_array_equal(outb[3][realq], outw[3][realq])
+
+
+def test_gpos_pack_and_expand_identity():
+    """pack_gpos round-trips (seqid, wpos), falls back when the bit budget
+    doesn't fit, and batch_l1_expand over a gpos shard returns candidates
+    identical to the pair_byhash path."""
+    import dataclasses as _dc
+
+    from metamaps_tpu.engine.mapper_jax import _minhits_table
+    from metamaps_tpu.ops.batch_map import (
+        batch_l1_expand, batch_lookup, batch_sketch, pack_gpos,
+    )
+    from metamaps_tpu.ops.winnow import winnow_np
+
+    pair = np.stack(
+        [np.repeat(np.arange(50, dtype=np.int32), 100),
+         np.tile(np.arange(100, dtype=np.int32) * 977, 50)], axis=1
+    )
+    gp, wb = pack_gpos(pair, 50)
+    assert wb > 0
+    np.testing.assert_array_equal((gp >> wb).astype(np.int32), pair[:, 0])
+    np.testing.assert_array_equal(
+        (gp & ((1 << wb) - 1)).astype(np.int32), pair[:, 1]
+    )
+    # 70k contigs with 2^26 positions cannot fit 32 bits
+    big = np.stack([np.array([69999], np.int32),
+                    np.array([1 << 26], np.int32)], axis=1)
+    assert pack_gpos(big, 70000)[1] == 0
+
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    sh = SketchShard()
+    parts = []
+    genomes = []
+    for i in range(3):
+        g = rng.choice(bases, size=50_000)
+        genomes.append(g)
+        hh, pp, ss = winnow_np(g, 16, 16)
+        parts.append((hh, pp, ss, i))
+        sh.contig_names.append(f"c{i}|kraken:taxid|{i+1}|x")
+        sh.contig_lengths.append(len(g))
+    sh.finalize(parts)
+    ds = DeviceShard.from_host(sh)
+    assert ds.gpos_bits > 0 and ds.pair_byhash.shape[0] == 0
+    pair_plane = np.stack(
+        [np.asarray(sh.seqid_byhash, np.int32),
+         np.asarray(sh.wpos_byhash, np.int32)], axis=1
+    )
+    ds_pair = _dc.replace(
+        ds, gpos=None, gpos_bits=0, pair_byhash=jnp.asarray(pair_plane)
+    )
+
+    cfg = MapKernelConfig.for_read_len(4096, 16, 16, l2_impl="scatter")
+    B = 4
+    reads = np.full((B, 4096), ord("A"), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        L = int(rng.integers(2500, 4000))
+        g = genomes[i % 3]
+        pos = int(rng.integers(0, len(g) - L))
+        r = g[pos : pos + L].copy()
+        idx = rng.integers(0, L, int(0.08 * L))
+        r[idx] = bases[rng.integers(0, 4, len(idx))]
+        reads[i, :L] = r
+        lens[i] = L
+    qh, qs_, s_size, s_ovf = batch_sketch(
+        cfg, jnp.asarray(reads), jnp.asarray(lens)
+    )
+    start, count, total, qkey = batch_lookup(cfg, ds, qh)
+    mh = jnp.asarray(_minhits_table(cfg.sketch_max, 16, 80.0))
+    out_g = batch_l1_expand(cfg, ds, start, count, s_size,
+                            jnp.asarray(lens), mh)
+    out_p = batch_l1_expand(cfg, ds_pair, start, count, s_size,
+                            jnp.asarray(lens), mh)
+    for a, b in zip(out_g, out_p):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(np.asarray(out_g[3]).sum()) > 0  # real candidates found
