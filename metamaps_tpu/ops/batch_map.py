@@ -313,13 +313,74 @@ def _rewindow_block9w(keys_flat: np.ndarray, packed_flat: np.ndarray,
                       rows_k: int) -> np.ndarray:
     """Window padded flat (key, packed) planes into block9w's [R, 64]
     rows (stride-24 width-32 views — no index materialization)."""
-    kv64 = np.empty((rows_k, 2 * BLOCK9W_WIDTH), np.uint32)
-    win_k = np.lib.stride_tricks.sliding_window_view(keys_flat, BLOCK9W_WIDTH)
-    win_p = np.lib.stride_tricks.sliding_window_view(packed_flat,
-                                                     BLOCK9W_WIDTH)
-    kv64[:, :BLOCK9W_WIDTH] = win_k[: rows_k * BLOCK9W_STRIDE : BLOCK9W_STRIDE]
-    kv64[:, BLOCK9W_WIDTH:] = win_p[: rows_k * BLOCK9W_STRIDE : BLOCK9W_STRIDE]
-    return kv64
+    return _rewindow_wide(keys_flat, packed_flat, rows_k,
+                          BLOCK9W_STRIDE, BLOCK9W_WIDTH)
+
+
+BLOCK16W_STRIDE = 48  # uniques per kv128 row step
+BLOCK16W_WIDTH = 64  # key (and start) lanes per kv128 row
+
+
+def build_block16w_tables(uniq: np.ndarray, uniq_start: np.ndarray,
+                          bucket_start: np.ndarray):
+    """'block16w' layout: block16's lookup for big shards (max bucket
+    9..16 at the directory cap — the > ~1.1 Gbp/shard regime where
+    block9p's 27-bit packed start no longer fits) in ONE [R, 128] uint32
+    row gather instead of two kv32 rows, at 10.7 B/unique instead of 16.
+
+    Rows advance BLOCK16W_STRIDE=48 uniques carrying BLOCK16W_WIDTH=64
+    (keys | raw uniq_start values). Coverage: r0 = lo // 48 puts the
+    bucket's first entry at in-row offset <= 47; its last entry at
+    <= 47 + 15 = 62 and the successor start (block16's count derivation)
+    at <= 63. Same match/rank semantics as block16: no upper-bound test
+    (equal keys cannot exist outside the query's own radix bucket)."""
+    U = len(uniq)
+    rows_k = U // BLOCK16W_STRIDE + 3
+    flat_len = rows_k * BLOCK16W_STRIDE + BLOCK16W_WIDTH
+    keys_flat = np.full(flat_len, U32_MAX, np.uint32)
+    keys_flat[:U] = uniq
+    starts_flat = np.full(flat_len, np.uint32(uniq_start[-1]), np.uint32)
+    starts_flat[: len(uniq_start)] = uniq_start.astype(np.uint32)
+    kv128 = _rewindow_wide(keys_flat, starts_flat, rows_k,
+                           BLOCK16W_STRIDE, BLOCK16W_WIDTH)
+    lo = bucket_start[:-1].astype(np.uint32)
+    cnt = np.minimum(
+        (bucket_start[1:] - bucket_start[:-1]).astype(np.uint32),
+        np.uint32(15),
+    )
+    dir_packed = lo | (cnt << np.uint32(28))
+    return kv128, dir_packed
+
+
+def _rewindow_wide(keys_flat: np.ndarray, vals_flat: np.ndarray,
+                   rows_k: int, stride: int, width: int) -> np.ndarray:
+    """Window padded flat (key, value) planes into wide [R, 2*width] rows
+    (stride/width views — no index materialization)."""
+    out = np.empty((rows_k, 2 * width), np.uint32)
+    win_k = np.lib.stride_tricks.sliding_window_view(keys_flat, width)
+    win_v = np.lib.stride_tricks.sliding_window_view(vals_flat, width)
+    out[:, :width] = win_k[: rows_k * stride : stride]
+    out[:, width:] = win_v[: rows_k * stride : stride]
+    return out
+
+
+def block16_rows_to_16w(kv32: np.ndarray) -> np.ndarray:
+    """Convert cached block16 rows (build_block_tables layout) to block16w
+    without the uniq tables: block rows advance 8 uniques carrying 16, so
+    lanes [:8] / [16:24] are the contiguous flat key/start planes."""
+    keys_flat = np.ascontiguousarray(kv32[:, :8]).reshape(-1)
+    starts_flat = np.ascontiguousarray(kv32[:, 16:24]).reshape(-1)
+    n = len(keys_flat)
+    rows_k = n // BLOCK16W_STRIDE + 1
+    need = rows_k * BLOCK16W_STRIDE + BLOCK16W_WIDTH
+    keys_flat = np.concatenate(
+        [keys_flat, np.full(need - n, U32_MAX, np.uint32)]
+    )
+    starts_flat = np.concatenate(
+        [starts_flat, np.full(need - n, starts_flat[-1], np.uint32)]
+    )
+    return _rewindow_wide(keys_flat, starts_flat, rows_k,
+                          BLOCK16W_STRIDE, BLOCK16W_WIDTH)
 
 
 def block9p_rows_to_9w(kv32: np.ndarray) -> np.ndarray:
@@ -735,6 +796,11 @@ class DeviceShard:
                 block9p_rows_to_9w(np.asarray(t["kv32"]))
             )
             mode = "block9w"
+        elif mode == "block16":
+            arrays["kv32"] = jnp.asarray(
+                block16_rows_to_16w(np.asarray(t["kv32"]))
+            )
+            mode = "block16w"
         else:
             arrays["kv32"] = jnp.asarray(t["kv32"])
         pair = np.asarray(t["pair_byhash"])
@@ -1010,6 +1076,36 @@ def batch_lookup(cfg: MapKernelConfig, shard: DeviceShard, q_hash,
         arow = jnp.sum(
             jnp.where(
                 sel, jnp.where(past[..., None], s32 + c32, s32), 0
+            ),
+            axis=-1,
+        )
+    elif shard.lookup_mode == "block16w":
+        # wide-row variant of block16 (build_block16w_tables): one [128]
+        # row gather covers any 9..16 bucket plus its successor start.
+        d = shard.dir_packed[b]
+        lo = (d & jnp.uint32(0x0FFFFFFF)).astype(jnp.int32)
+        r0 = lo // BLOCK16W_STRIDE
+        row = jnp.take(shard.kv32, r0, axis=0)  # [B, S, 128]
+        k64 = row[..., :BLOCK16W_WIDTH]
+        s64 = row[..., BLOCK16W_WIDTH:].astype(jnp.int32)
+        g = (r0 * BLOCK16W_STRIDE)[..., None] + jnp.arange(
+            BLOCK16W_WIDTH, dtype=jnp.int32
+        )
+        in_b = g >= lo[..., None]
+        m = (k64 == q_hash[..., None]) & in_b
+        found = m.any(axis=-1)
+        start = jnp.sum(jnp.where(m, s64, 0), axis=-1).astype(jnp.int32)
+        nxt = jnp.concatenate([s64[..., 1:], s64[..., :1]], axis=-1)
+        count = jnp.sum(jnp.where(m, nxt - s64, 0), axis=-1).astype(jnp.int32)
+        cnt_lt = jnp.sum(
+            ((k64 < q_hash[..., None]) & in_b).astype(jnp.int32), axis=-1
+        )
+        idx64 = lo + cnt_lt - r0 * BLOCK16W_STRIDE
+        arow = jnp.sum(
+            jnp.where(
+                jnp.arange(BLOCK16W_WIDTH, dtype=jnp.int32)
+                == idx64[..., None],
+                s64, 0,
             ),
             axis=-1,
         )

@@ -81,8 +81,10 @@ def test_lookup_modes_agree(cluster):
     hashes = np.concatenate([base, clus, clus[: cluster // 2]])  # some dups
     shard = _shard_from_hashes(hashes)
     ds = DeviceShard.from_host(shard)
+    # block16-regime shards upload in the wide-row block16w layout
+    # (DeviceShard.from_tables converts — see build_block16w_tables)
     expect = "block8" if cluster <= 8 else (
-        "block16" if cluster <= 16 else "bisect"
+        "block16w" if cluster <= 16 else "bisect"
     )
     assert ds.lookup_mode == expect
 
@@ -482,3 +484,73 @@ def test_gpos_pack_and_expand_identity():
     for a, b in zip(out_g, out_p):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(np.asarray(out_g[3]).sum()) > 0  # real candidates found
+
+
+def test_block16w_parity_and_rewindow():
+    """The wide block16 rows (one [128] row gather, 10.7 B/unique) must be
+    query-for-query identical to block16 and bisect, and the upload-time
+    conversion of cached block16 rows must reproduce the directly-built
+    table on every row that covers real entries."""
+    from metamaps_tpu.ops.batch_map import (
+        BLOCK16W_STRIDE, block16_rows_to_16w, build_block16w_tables,
+        build_block_tables,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 2**32, 60_000, dtype=np.uint64).astype(np.uint32)
+    # clusters deep enough to force buckets of 9..16 at any width
+    cl1 = (np.uint32(0x13570000) & np.uint32(0xFFFFFFC0)) + np.arange(
+        13, dtype=np.uint32
+    )
+    cl2 = (np.uint32(0xEE440000) & np.uint32(0xFFFFFFC0)) + np.arange(
+        16, dtype=np.uint32
+    )
+    h = np.concatenate([base, cl1, cl1[:6], cl2])
+    shard = _shard_from_hashes(h)
+    hs = np.asarray(shard.hash_sorted, np.uint32)
+    for nb in range(12, 26):
+        u1, us1, bs1, sh1, st1, e1 = build_uniq_tables(hs, nb_bits=nb)
+        mb = int(np.max(np.diff(bs1)))
+        if 9 <= mb <= 16:
+            break
+    assert 9 <= mb <= 16
+    kv32, dirp = build_block_tables(u1, us1, bs1)
+    kv128, dirw = build_block16w_tables(u1, us1, bs1)
+    np.testing.assert_array_equal(dirp, dirw)
+    kv128_rw = block16_rows_to_16w(kv32)
+    rows_needed = (len(u1) - 1) // BLOCK16W_STRIDE + 1
+    np.testing.assert_array_equal(kv128[:rows_needed], kv128_rw[:rows_needed])
+
+    ds = DeviceShard.from_host(shard)
+    mk = lambda mode, kv, dp: dataclasses.replace(
+        ds, lookup_mode=mode, uniq_hash=jnp.asarray(u1),
+        uniq_start=jnp.asarray(us1), bucket_start=jnp.asarray(bs1),
+        kv32=jnp.asarray(kv), dir_packed=jnp.asarray(dp),
+        bucket_shift=sh1, bisect_steps=st1, remix_e=e1,
+    )
+    ds16 = mk("block16", kv32, dirp)
+    dsw = mk("block16w", kv128, dirw)
+    dsb = dataclasses.replace(ds16, lookup_mode="bisect")
+
+    cfg = MapKernelConfig.for_read_len(2048, 16, 16, l2_impl="scatter")
+    S = cfg.sketch_max
+    rngq = np.random.default_rng(32)
+    qs = np.full((3, S), np.uint32(0xFFFFFFFF))
+    qs[0, :64] = np.concatenate([cl1, cl2, rngq.choice(base, 35)])
+    qs[1, :256] = rngq.integers(0, 2**32, 256, dtype=np.uint64).astype(
+        np.uint32
+    )
+    qs[2, :128] = rngq.choice(h, 128)
+    out16 = [np.asarray(x) for x in batch_lookup(cfg, ds16, jnp.asarray(qs))]
+    outw = [np.asarray(x) for x in batch_lookup(cfg, dsw, jnp.asarray(qs))]
+    outb = [np.asarray(x) for x in batch_lookup(cfg, dsb, jnp.asarray(qs))]
+    # the live contract (as in test_lookup_modes_agree): count/total
+    # everywhere, start wherever count > 0, qkey for real query slots —
+    # padded q = U32_MAX slots return masked garbage starts in every mode
+    live = outb[1] > 0
+    realq = qs != np.uint32(0xFFFFFFFF)
+    for other in (out16, outb):
+        np.testing.assert_array_equal(other[1], outw[1])
+        np.testing.assert_array_equal(other[2], outw[2])
+        np.testing.assert_array_equal(other[0][live], outw[0][live])
+        np.testing.assert_array_equal(other[3][realq], outw[3][realq])
