@@ -118,7 +118,16 @@ def build_uniq_tables(hash_sorted: np.ndarray, nb_bits: int = None,
     picked empirically from ``REMIX_LADDER`` (smallest max bucket wins;
     ``remix_e`` pins it externally, e.g. for cross-shard-common tables)."""
     hs = np.asarray(hash_sorted, dtype=np.uint32)
-    uniq, first_idx = np.unique(hs, return_index=True)
+    if hs.size and np.all(hs[:-1] <= hs[1:]):
+        # input is already ascending (the DeviceShard contract): uniques
+        # are run boundaries — O(M) instead of np.unique's re-sort
+        new_run = np.empty(hs.size, np.bool_)
+        new_run[0] = True
+        np.not_equal(hs[1:], hs[:-1], out=new_run[1:])
+        first_idx = np.flatnonzero(new_run)
+        uniq = hs[first_idx]
+    else:
+        uniq, first_idx = np.unique(hs, return_index=True)
     uniq_start = np.concatenate([first_idx, [hs.shape[0]]]).astype(np.int32)
     n_u = max(1, len(uniq))
 
@@ -560,7 +569,13 @@ def build_chain_tables(wpos: np.ndarray, hash_pos: np.ndarray,
     n_contigs = len(contig_offsets) - 1
     cid = np.repeat(np.arange(n_contigs, dtype=np.int64),
                     np.diff(np.asarray(contig_offsets, np.int64)))
-    order = np.lexsort((np.arange(M), np.asarray(hash_pos, np.uint32), cid))
+    # stable sort on ONE packed (cid, hash) uint64 key: ties keep position
+    # order (== lexsort((arange, hash, cid))), at a third of the radix
+    # passes of the three-key lexsort
+    key = (cid.astype(np.uint64) << np.uint64(32)) | np.asarray(
+        hash_pos, np.uint32
+    ).astype(np.uint64)
+    order = np.argsort(key, kind="stable")
     same = (cid[order[1:]] == cid[order[:-1]]) & (
         np.asarray(hash_pos)[order[1:]] == np.asarray(hash_pos)[order[:-1]]
     )
@@ -737,10 +752,27 @@ class DeviceShard:
             np.asarray(shard.wpos), np.asarray(shard.hash_pos_order),
             np.asarray(shard.contig_offsets),
         )
-        hrow = np.searchsorted(
-            np.asarray(shard.hash_sorted, np.uint32),
-            np.asarray(shard.hash_pos_order, np.uint32),
-        ).astype(np.int32)
+        # hrow: each position-order minimizer's FIRST row in hash-sorted
+        # order. With finalize's argsort permutation this is an O(M)
+        # run-first scatter (hash_sorted[j] == hash_pos_order[order[j]], so
+        # position order[j] gets the start of j's equal-hash run); restored
+        # shards without the permutation fall back to the binary search —
+        # identical output, ~25x slower at 10^8 minimizers.
+        hs_u32 = np.asarray(shard.hash_sorted, np.uint32)
+        order = getattr(shard, "hash_order", None)
+        if order is not None and order.size == hs_u32.size and hs_u32.size:
+            new_run = np.empty(hs_u32.size, np.bool_)
+            new_run[0] = True
+            np.not_equal(hs_u32[1:], hs_u32[:-1], out=new_run[1:])
+            run_first = np.maximum.accumulate(
+                np.where(new_run, np.arange(hs_u32.size, dtype=np.int32), 0)
+            )
+            hrow = np.empty(hs_u32.size, np.int32)
+            hrow[order] = run_first
+        else:
+            hrow = np.searchsorted(
+                hs_u32, np.asarray(shard.hash_pos_order, np.uint32),
+            ).astype(np.int32)
         return {
             "hash_sorted": np.asarray(shard.hash_sorted),
             "pair_byhash": pair,
