@@ -348,29 +348,58 @@ def em_bench(rng):
     return (time.perf_counter() - t0) / 10 * 1000
 
 
-def _pad_tables_common(tables_list, verbose=True):
-    """Pad each shard's host tables to COMMON shapes (stack_shards
+def _tables_common_spec(stats_list):
+    """Common padded shapes + unified static pytree metadata from per-shard
+    table STATS (dicts of shapes/scalars — `_table_stats`), so the spec can
+    be computed without every shard's arrays resident."""
+    nb = {s["bucket_shift"] for s in stats_list}
+    mode = {s["lookup_mode"] for s in stats_list}
+    remix = {s["remix_e"] for s in stats_list}
+    assert len(nb) == 1 and len(mode) == 1 and len(remix) == 1, (
+        "shards disagree on lookup layout; rebuild with pinned "
+        f"nb_bits/remix (nb={nb}, mode={mode}, remix={remix})"
+    )
+    return {
+        "m_max": max(s["m"] for s in stats_list),
+        "u_max": max(s["u"] for s in stats_list),
+        "c_max": max(s["c"] for s in stats_list),
+        "kv_max": max(s["kv"] for s in stats_list),
+        # a common (stricter) threshold keeps freq_threshold — static
+        # pytree metadata — equal across shards so the jit cache is shared
+        "thr": min(s["freq_threshold"] for s in stats_list),
+        "steps": max(s["bisect_steps"] for s in stats_list),
+        "max_step": max(s["max_step"] for s in stats_list),
+    }
+
+
+def _table_stats(t):
+    """Shape/scalar summary of one shard's host tables (for
+    :func:`_tables_common_spec`)."""
+    return {
+        "m": int(t["hash_sorted"].shape[0]),
+        "u": int(t["uniq_hash"].shape[0]),
+        "c": int(t["contig_offsets"].shape[0]),
+        "kv": int(t["kv32"].shape[0]),
+        "bucket_shift": int(t["bucket_shift"]),
+        "lookup_mode": str(t["lookup_mode"]),
+        "remix_e": int(t["remix_e"]),
+        "freq_threshold": int(t["freq_threshold"]),
+        "bisect_steps": int(t["bisect_steps"]),
+        "max_step": int(t.get("max_step", 64)),
+    }
+
+
+def _pad_tables_to(t, spec):
+    """Pad ONE shard's host tables to the common-spec shapes (stack_shards
     sentinels) and unify the static pytree metadata, so the jitted mapping
     kernels compile ONCE and are reused across the temporal device-table
     swap loop — the point of the reference's memory-bounded shard design is
     that per-shard cost is swap + map, not recompile (winSketch.hpp:298,
     mapWrap.h:417-429)."""
+    from metamaps_tpu.ops.batch_map import HROW_PAD
+
     i32max = np.int32(2**31 - 1)
-    m_max = max(int(t["hash_sorted"].shape[0]) for t in tables_list)
-    u_max = max(int(t["uniq_hash"].shape[0]) for t in tables_list)
-    c_max = max(int(t["contig_offsets"].shape[0]) for t in tables_list)
-    kv_max = max(int(t["kv32"].shape[0]) for t in tables_list)
-    nb = {int(t["bucket_shift"]) for t in tables_list}
-    mode = {str(t["lookup_mode"]) for t in tables_list}
-    remix = {int(t["remix_e"]) for t in tables_list}
-    assert len(nb) == 1 and len(mode) == 1 and len(remix) == 1, (
-        "shards disagree on lookup layout; rebuild with pinned "
-        f"nb_bits/remix (nb={nb}, mode={mode}, remix={remix})"
-    )
-    # a common (stricter) threshold keeps freq_threshold — static pytree
-    # metadata — equal across shards so the jit cache is shared
-    thr_common = min(int(t["freq_threshold"]) for t in tables_list)
-    steps_common = max(int(t["bisect_steps"]) for t in tables_list)
+    m_max, u_max = spec["m_max"], spec["u_max"]
 
     def pad1(x, n, fill):
         if len(x) == n:
@@ -379,48 +408,67 @@ def _pad_tables_common(tables_list, verbose=True):
         out[: len(x)] = x
         return out
 
-    max_step_common = max(int(t.get("max_step", 64)) for t in tables_list)
+    p = dict(t)
+    p["hash_sorted"] = pad1(t["hash_sorted"], m_max, np.uint32(0xFFFFFFFF))
+    p["pair_byhash"] = pad1(t["pair_byhash"], m_max, i32max)
+    p["wpos"] = pad1(t["wpos"], m_max, i32max)
+    p["hash_pos"] = pad1(t["hash_pos"], m_max, np.uint32(0xFFFFFFFF))
+    p["strand_pos"] = pad1(t["strand_pos"], m_max, np.int8(1))
+    p["hs32"] = pad1(t["hs32"], m_max, HROW_PAD)
+    m = t["chains16"].shape[1]
+    if m != m_max:
+        ch = np.full((3, m_max), np.uint16(65535), np.uint16)
+        ch[:, :m] = t["chains16"]
+        p["chains16"] = ch
+    p["max_step"] = np.int64(spec["max_step"])
+    co = np.asarray(t["contig_offsets"])
+    p["contig_offsets"] = pad1(co, spec["c_max"], co[-1])
+    p["uniq_hash"] = pad1(t["uniq_hash"], u_max, np.uint32(0xFFFFFFFF))
+    us = np.asarray(t["uniq_start"])
+    p["uniq_start"] = pad1(us, max(u_max + 1, len(us)), us[-1])
+    p["kv32"] = pad1(t["kv32"], spec["kv_max"], np.uint32(0))
+    p["freq_threshold"] = np.int64(spec["thr"])
+    p["bisect_steps"] = np.int64(spec["steps"])
+    return p
+
+
+def _pad_tables_common(tables_list, verbose=True):
+    """All-resident wrapper over :func:`_tables_common_spec` +
+    :func:`_pad_tables_to` (kept for tests/small scales; the bench's swap
+    loop streams shards instead — one resident at a time)."""
+    spec = _tables_common_spec([_table_stats(t) for t in tables_list])
     padded = []
     for i in range(len(tables_list)):
         t = tables_list[i]
         tables_list[i] = None  # consume destructively: at 8 x 1 Gbp shards
         # holding originals + padded copies together would double ~40 GB
-        p = dict(t)
-        p["hash_sorted"] = pad1(t["hash_sorted"], m_max, np.uint32(0xFFFFFFFF))
-        p["pair_byhash"] = pad1(t["pair_byhash"], m_max, i32max)
-        p["wpos"] = pad1(t["wpos"], m_max, i32max)
-        p["hash_pos"] = pad1(t["hash_pos"], m_max, np.uint32(0xFFFFFFFF))
-        p["strand_pos"] = pad1(t["strand_pos"], m_max, np.int8(1))
-        from metamaps_tpu.ops.batch_map import HROW_PAD
-
-        p["hs32"] = pad1(t["hs32"], m_max, HROW_PAD)
-        m = t["chains16"].shape[1]
-        ch = np.full((3, m_max), np.uint16(65535), np.uint16)
-        ch[:, :m] = t["chains16"]
-        p["chains16"] = ch
-        p["max_step"] = np.int64(max_step_common)
-        co = np.asarray(t["contig_offsets"])
-        p["contig_offsets"] = pad1(co, c_max, co[-1])
-        p["uniq_hash"] = pad1(t["uniq_hash"], u_max, np.uint32(0xFFFFFFFF))
-        us = np.asarray(t["uniq_start"])
-        p["uniq_start"] = pad1(us, max(u_max + 1, len(us)), us[-1])
-        p["kv32"] = pad1(t["kv32"], kv_max, np.uint32(0))
-        p["freq_threshold"] = np.int64(thr_common)
-        p["bisect_steps"] = np.int64(steps_common)
-        padded.append(p)
+        padded.append(_pad_tables_to(t, spec))
     if verbose:
-        print(f"# multishard: common shapes M={m_max} U={u_max} "
-              f"thr={thr_common}", flush=True)
+        print(f"# multishard: common shapes M={spec['m_max']} "
+              f"U={spec['u_max']} thr={spec['thr']}", flush=True)
     return padded
 
 
 def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
-    """Map one read set against an N x 1 Gbp database under a fixed HBM
+    """Map one read set against an N-shard database under a fixed HBM
     budget: one shard's device tables resident at a time, swapped between
     mapping passes; per-read candidates merged across shards and mapping
     qualities computed over the union — the reference's --maxmemory shard
     loop + unifyFiles + addMappingQualities contract (mapWrap.h:34-213,
-    215-323) at realistic scale. Returns (detail dict, merged results)."""
+    215-323) at realistic scale. Returns (detail dict, merged results).
+
+    Shards STREAM through host RAM: pass 1 touches each shard's tables
+    only long enough to record shapes + contig metadata (computing the
+    common padded spec without all shards resident), pass 2 reloads,
+    pads, uploads, maps, and releases one shard at a time. Peak host RAM
+    is ~2 table sets regardless of N — the all-resident loop capped out
+    near 8 x 1 Gbp on this image, while the reference-scale target
+    (26.76 Gbp = 8 x 3.345 Gbp via METAMAPS_TPU_BENCH_BASES, block16w
+    lookup) needs ~170 GB all-resident. The reference reloads each
+    serialized sketch from disk per pass too (mapWrap.h:417-429)."""
+    import gc
+    from types import SimpleNamespace
+
     import jax
 
     from metamaps_tpu.engine.mapper_jax import JaxMapperEngine
@@ -431,43 +479,63 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
                         percentage_identity=80.0, report_all=True)
 
     detail = {"mode": "multishard", "n_shards": n_shards}
-    shards, tables_list, read_sets = [], [], []
     per = n_reads // n_shards
+
+    # pass 1 — build-or-load each shard once, keep only shapes + contig
+    # metadata + its read draw (reads: ~8 KB each; tables: gigabytes)
+    stats, meta, read_sets = [], [], []
     t0 = time.perf_counter()
     for i in range(n_shards):
         seed = LARGE_SEED + 7919 * i
         sh, tb, rd, info = build_db_large(seed=seed, n_reads=per,
                                           verbose=verbose)
+        stats.append(_table_stats(tb))
         # globally unique contig names across shards (the reference DB has
         # globally unique contigs; synth shards reuse local names)
-        sh.contig_names = [f"s{i}|{n}" for n in sh.contig_names]
-        shards.append(sh)
-        tables_list.append(tb)
-        read_sets.append(rd)
+        meta.append(SimpleNamespace(
+            contig_names=[f"s{i}|{n}" for n in sh.contig_names],
+            contig_lengths=[int(x) for x in sh.contig_lengths],
+        ))
+        read_sets.append(rd[:per])
         if verbose:
             print(f"# shard {i}: {sh.n_minimizers} minimizers "
                   f"({info.get('cache', '?')})", flush=True)
+        del sh, tb, rd
+        gc.collect()
+    spec = _tables_common_spec(stats)
     detail["load_s"] = round(time.perf_counter() - t0, 1)
-    detail["db_bases"] = int(sum(sum(s.contig_lengths) for s in shards))
+    detail["db_bases"] = int(
+        sum(sum(m.contig_lengths) for m in meta))
+    if verbose:
+        print(f"# multishard: common shapes M={spec['m_max']} "
+              f"U={spec['u_max']} thr={spec['thr']}", flush=True)
 
     # reads drawn evenly from every shard's genomes (each read has a true
     # home shard; the others are realistic decoys)
-    reads = [r for rs in read_sets for r in rs[:per]]
-
-    padded = _pad_tables_common(tables_list, verbose=verbose)
-    del tables_list
+    reads = [r for rs in read_sets for r in rs]
 
     on_accel = jax.default_backend() in ("tpu", "axon", "gpu")
     all_results = []  # [shard][read] -> list of ReadMapping
-    swap_s, map_s = [], []
+    swap_s, map_s, upload_s = [], [], []
     hbm_b = 0
     for i in range(n_shards):
         t0 = time.perf_counter()
-        dshard = DeviceShard.from_tables(padded[i], drop_cpu_planes=on_accel)
+        seed = LARGE_SEED + 7919 * i
+        # reload this shard's cached tables (the disk part of the swap) and
+        # pad to the common spec; the SketchShard from build_db_large views
+        # the UNPADDED planes — the oracle-fallback contract (its wpos/seqid
+        # lengths must agree with contig_offsets, which padding breaks)
+        sh, tb, _rd, _info = build_db_large(seed=seed, n_reads=per,
+                                            verbose=False)
+        padded = _pad_tables_to(tb, spec)
+        del tb
+        t_up = time.perf_counter()
+        dshard = DeviceShard.from_tables(padded, drop_cpu_planes=on_accel)
         jax.block_until_ready(dshard.hash_sorted)
+        upload_s.append(round(time.perf_counter() - t_up, 1))
         swap_s.append(round(time.perf_counter() - t0, 1))
         hbm_b = dshard.hbm_bytes()
-        engine = JaxMapperEngine(shards[i], params, read_len_buckets=BENCH_BUCKETS,
+        engine = JaxMapperEngine(sh, params, read_len_buckets=BENCH_BUCKETS,
                                  device_shard=dshard, hits_max=16384)
         if i == 0:
             # full warm passes until the adaptive plans stop changing (the
@@ -504,22 +572,24 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
         all_results.append(engine.map_reads(reads))
         map_s.append(round(time.perf_counter() - t0, 3))
         detail[f"shard{i}_fallbacks"] = engine.stats["oracle_fallbacks"]
-        del dshard, engine  # free HBM before the next shard's upload
+        # free HBM + the host table planes before the next shard's reload
+        del dshard, engine, sh, padded
+        gc.collect()
         if verbose:
-            print(f"# shard {i}: swap {swap_s[-1]}s map {map_s[-1]}s",
-                  flush=True)
+            print(f"# shard {i}: swap {swap_s[-1]}s "
+                  f"(upload {upload_s[-1]}s) map {map_s[-1]}s", flush=True)
 
     # the unifyFiles merge: per-read candidates concatenated in shard
     # order, report filter + mapping qualities over the union
     if verbose:
         print("# unify: merging per-read candidates", flush=True)
-    del padded  # free the padded host copies before the EM phases
     t0 = time.perf_counter()
-    merged_lines, n_mapped = unify_lines(params, all_results, shards,
+    merged_lines, n_mapped = unify_lines(params, all_results, meta,
                                          len(reads))
     detail["unify_s"] = round(time.perf_counter() - t0, 2)
     detail.update({
         "swap_s_per_shard": swap_s,
+        "upload_s_per_shard": upload_s,
         "map_s_per_shard": map_s,
         "hbm_gb_per_shard": round(hbm_b / 1e9, 2),
         "n_reads": len(reads),
@@ -531,7 +601,7 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
     total_s = sum(map_s) + sum(swap_s) + detail["unify_s"]
     detail["reads_per_s_map"] = round(len(reads) / sum(map_s), 2)
     detail["reads_per_s_amortized"] = round(len(reads) / total_s, 2)
-    return detail, merged_lines, shards
+    return detail, merged_lines, meta
 
 
 def em_bench_realdist(merged_lines, shards, min_lines=5_000_000):
