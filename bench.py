@@ -36,8 +36,13 @@ BENCH_BUCKETS = (3072, 4096, 5120, 6144, 7168, 8192)
 # loading an old table format); version 2 == the remix/block9p layout
 # (detected by 'remix_e' presence in pre-marker caches); version 3 ==
 # 5-row i32 pos_tab; version 4 == hs32 + uint16 chain deltas
-# (build_chain_deltas) replacing pos_tab
-CACHE_FORMAT = 4
+# (build_chain_deltas) replacing pos_tab; version 5 == the DISK diet:
+# hash_sorted and strand_pos are dropped (exactly rehydrated at load from
+# hash_pos / hs32's packed strand bit) and pair_byhash is stored as the
+# packed uint32 gpos plane when it fits (pack_gpos) — ~40 -> ~31
+# B/minimizer on disk, which is what lets a 26.76 Gbp (reference
+# miniSeq+H scale) shard-cache set fit this image's disk
+CACHE_FORMAT = 5
 
 
 def _migrate_cache_v2_to_v3(tab_fn, z):
@@ -92,9 +97,75 @@ def _migrate_cache_v3_to_v4(tab_fn, z):
                            int(np.diff(w64[co[i]:co[i + 1]]).max()))
     tables["max_step"] = np.int64(max_step)
     np.savez(tab_fn + ".tmp.npz", **tables,
+             format_version=np.int64(4))
+    os.replace(tab_fn + ".tmp.npz", tab_fn)
+    return np.load(tab_fn, allow_pickle=True)
+
+
+def _diet_tables(tables: dict) -> dict:
+    """Full in-memory table dict -> the v5 DISK layout: drop the planes
+    that are exactly reconstructible at load (hash_sorted = sort of
+    hash_pos; strand_pos = hs32's packed strand bit) and pack pair_byhash
+    into the uint32 gpos plane when the shard fits (pack_gpos — the
+    many-contig fallback keeps pair_byhash). ~40 -> ~31 B/minimizer on
+    disk and proportionally faster swap reloads."""
+    from metamaps_tpu.ops.batch_map import pack_gpos
+
+    d = {k: v for k, v in tables.items()
+         if k not in ("hash_sorted", "strand_pos", "gpos", "gpos_wb")}
+    if "gpos" in tables and int(tables.get("gpos_wb", 0)):
+        d["gpos"] = tables["gpos"]
+        d["gpos_wb"] = np.int64(int(tables["gpos_wb"]))
+        d.pop("pair_byhash", None)
+        return d
+    pair = np.asarray(tables["pair_byhash"])
+    gp, wb = pack_gpos(pair, int(tables["contig_offsets"].shape[0]) - 1)
+    if wb:
+        d["gpos"] = gp
+        d["gpos_wb"] = np.int64(wb)
+        d.pop("pair_byhash", None)
+    return d
+
+
+def _migrate_cache_v4_to_v5(tab_fn, z):
+    """v4 -> v5 without the rebuild: pure drops + the gpos pack."""
+    print("# migrating bench cache v4 -> v5 (disk diet)", flush=True)
+    tables = {k: z[k] for k in z.files if k not in (
+        "format_version", "allow_pickle")}
+    np.savez(tab_fn + ".tmp.npz", **_diet_tables(tables),
              format_version=np.int64(CACHE_FORMAT))
     os.replace(tab_fn + ".tmp.npz", tab_fn)
     return np.load(tab_fn, allow_pickle=True)
+
+
+def _rehydrate_tables(d: dict):
+    """v5 disk layout -> full in-memory table dict, WITHOUT the
+    hash-order sort.
+
+    The O(M) reconstructions are exact inverses of what the build
+    dropped: strand_pos decodes hs32's bit 30 (pack_hrow_strand packs
+    ``strand > 0`` and winnowing emits strictly {+1,-1}); pair_byhash
+    unpacks gpos (pack_gpos is lossless when it engaged). hash_sorted is
+    deliberately NOT materialized: the accelerator block-lookup path never
+    reads it, DeviceShard.from_tables re-sorts hash_pos on the rare paths
+    that do, and the SketchShard's hash-order views are derived lazily by
+    ensure_hash_order_views() only if an oracle fallback actually fires —
+    skipping the ~45 s/swap argsort at 3.3 Gbp/shard."""
+    from metamaps_tpu.ops.batch_map import HROW_STRAND_BIT
+
+    t = dict(d)
+    hs32 = np.asarray(t["hs32"])
+    t["strand_pos"] = (
+        (((hs32 >> HROW_STRAND_BIT) & 1) * 2 - 1).astype(np.int8)
+    )
+    if "gpos" in t:
+        wb = int(t["gpos_wb"])
+        gp = np.asarray(t["gpos"])
+        t["pair_byhash"] = np.stack(
+            [(gp >> np.uint32(wb)).astype(np.int32),
+             (gp & np.uint32((1 << wb) - 1)).astype(np.int32)], axis=1,
+        )
+    return t
 
 
 def build_db_quick(rng, n_genomes=8, genome_len=2_000_000):
@@ -131,7 +202,12 @@ def make_reads_quick(rng, genomes, n_reads, min_len=3000, max_len=8000, sub=0.10
 
 
 def _shard_from_tables(t, contig_names, contig_lengths):
-    """Reconstruct a SketchShard from cached host tables (no sorts)."""
+    """Reconstruct a SketchShard from cached host tables — sort-free.
+
+    hash_sorted/strand_byhash stay None: they only serve the serial-oracle
+    fallback, and SketchShard.ensure_hash_order_views() derives them
+    lazily the first time that path actually runs (the ~45 s/swap argsort
+    at 3.3 Gbp/shard is thereby skipped on the 0-fallback steady state)."""
     from metamaps_tpu.engine.index import SketchShard
 
     sh = SketchShard()
@@ -140,11 +216,8 @@ def _shard_from_tables(t, contig_names, contig_lengths):
     sh.wpos = np.asarray(t["wpos"])
     sh.strand = np.asarray(t["strand_pos"])
     sh.hash_pos_order = np.asarray(t["hash_pos"])
-    sh.hash_sorted = np.asarray(t["hash_sorted"])
-    # the hash-order strand plane is not cached; rebuild it with the same
-    # stable sort key finalize() uses (oracle fallbacks need it)
-    order = np.argsort(sh.hash_pos_order, kind="stable")
-    sh.strand_byhash = sh.strand[order]
+    if "hash_sorted" in t:
+        sh.hash_sorted = np.asarray(t["hash_sorted"])
     pair = np.asarray(t["pair_byhash"])
     sh.seqid_byhash = pair[:, 0]
     sh.wpos_byhash = pair[:, 1]
@@ -252,11 +325,15 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
             ver = 3
         if ver == 3:
             z = _migrate_cache_v3_to_v4(tab_fn, z)
+            ver = 4
+        if ver == 4:
+            z = _migrate_cache_v4_to_v5(tab_fn, z)
             ver = CACHE_FORMAT
         if ver == CACHE_FORMAT:
-            tables = {k: z[k] for k in z.files if k not in (
+            raw = {k: z[k] for k in z.files if k not in (
                 "contig_names", "contig_lengths", "format_version",
                 "allow_pickle")}
+            tables = _rehydrate_tables(raw)
             names = [str(x) for x in z["contig_names"]]
             lens = z["contig_lengths"]
             rz = np.load(reads_fn, allow_pickle=True)
@@ -303,12 +380,18 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
     info["reads_s"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
+    diet = _diet_tables(tables)
     np.savez(
-        tab_fn, **tables,
+        tab_fn, **diet,
         contig_names=np.array(shard.contig_names, dtype=object),
         contig_lengths=np.array(shard.contig_lengths, np.int64),
         format_version=np.int64(CACHE_FORMAT),
     )
+    # hand the packed gpos plane to from_tables too (skips its re-pack)
+    if "gpos" in diet:
+        tables["gpos"] = diet["gpos"]
+        tables["gpos_wb"] = diet["gpos_wb"]
+    del diet
     reads_fn = os.path.join(
         CACHE_DIR, f"reads_{total_bases}_{seed}_{n_reads}.npz")
     np.savez(reads_fn, reads=np.array(reads, dtype=object))
@@ -369,6 +452,13 @@ def _tables_common_spec(stats_list):
         "thr": min(s["freq_threshold"] for s in stats_list),
         "steps": max(s["bisect_steps"] for s in stats_list),
         "max_step": max(s["max_step"] for s in stats_list),
+        # the packed-gpos hit plane survives padding only when every shard
+        # packed with the SAME width (gp values must order identically
+        # under one wb; bench shards share the synth config, so they do) —
+        # otherwise fall back to pair_byhash as before
+        "gpos_wb": (stats_list[0]["gpos_wb"]
+                    if len({s["gpos_wb"] for s in stats_list}) == 1
+                    else 0),
     }
 
 
@@ -376,7 +466,7 @@ def _table_stats(t):
     """Shape/scalar summary of one shard's host tables (for
     :func:`_tables_common_spec`)."""
     return {
-        "m": int(t["hash_sorted"].shape[0]),
+        "m": int(t["wpos"].shape[0]),
         "u": int(t["uniq_hash"].shape[0]),
         "c": int(t["contig_offsets"].shape[0]),
         "kv": int(t["kv32"].shape[0]),
@@ -386,6 +476,7 @@ def _table_stats(t):
         "freq_threshold": int(t["freq_threshold"]),
         "bisect_steps": int(t["bisect_steps"]),
         "max_step": int(t.get("max_step", 64)),
+        "gpos_wb": int(t["gpos_wb"]) if "gpos_wb" in t else 0,
     }
 
 
@@ -409,8 +500,25 @@ def _pad_tables_to(t, spec):
         return out
 
     p = dict(t)
-    p["hash_sorted"] = pad1(t["hash_sorted"], m_max, np.uint32(0xFFFFFFFF))
-    p["pair_byhash"] = pad1(t["pair_byhash"], m_max, i32max)
+    if "hash_sorted" in t:
+        # absent on v5 lazy loads — from_tables re-derives it from the
+        # padded hash_pos on the rare paths that read it (the 0xFFFFFFFF
+        # pads sort last either way)
+        p["hash_sorted"] = pad1(t["hash_sorted"], m_max, np.uint32(0xFFFFFFFF))
+    wb = int(spec.get("gpos_wb", 0))
+    if wb and "gpos" in t and int(t.get("gpos_wb", 0)) == wb:
+        # pad the packed hit plane directly: 0xFFFFFFFF is pack_gpos's
+        # above-every-real-gp sentinel (seqid <= 2^(32-wb) - 2), so padded
+        # rows sort last exactly like i32max pair rows did. Packing from
+        # the PADDED pair would instead see max_pos = i32max and disable
+        # gpos — which silently cost multishard runs 4 B/minimizer of HBM
+        p["gpos"] = pad1(t["gpos"], m_max, np.uint32(0xFFFFFFFF))
+        p["gpos_wb"] = np.int64(wb)
+        p["pair_byhash"] = np.zeros((0, 2), np.int32)
+    else:
+        p.pop("gpos", None)
+        p.pop("gpos_wb", None)
+        p["pair_byhash"] = pad1(t["pair_byhash"], m_max, i32max)
     p["wpos"] = pad1(t["wpos"], m_max, i32max)
     p["hash_pos"] = pad1(t["hash_pos"], m_max, np.uint32(0xFFFFFFFF))
     p["strand_pos"] = pad1(t["strand_pos"], m_max, np.int8(1))
@@ -531,7 +639,7 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
         del tb
         t_up = time.perf_counter()
         dshard = DeviceShard.from_tables(padded, drop_cpu_planes=on_accel)
-        jax.block_until_ready(dshard.hash_sorted)
+        jax.block_until_ready((dshard.wpos, dshard.hs32, dshard.kv32))
         upload_s.append(round(time.perf_counter() - t_up, 1))
         swap_s.append(round(time.perf_counter() - t0, 1))
         hbm_b = dshard.hbm_bytes()
@@ -840,7 +948,7 @@ def main():
 
         on_accel = jax.default_backend() in ("tpu", "axon", "gpu")
         dshard = DeviceShard.from_tables(tables, drop_cpu_planes=on_accel)
-        jax.block_until_ready(dshard.hash_sorted)
+        jax.block_until_ready((dshard.wpos, dshard.hs32, dshard.kv32))
         t_up = time.perf_counter() - t0
         hbm_b = dshard.hbm_bytes()
         print(

@@ -949,6 +949,7 @@ class JaxMapperEngine:
                         # host shard before retrying
                         import jax.numpy as jnp
 
+                        self.shard.ensure_hash_order_views()
                         self.device_shard = dataclasses.replace(
                             self.device_shard,
                             hash_pos=jnp.asarray(self.shard.hash_pos_order),

@@ -799,14 +799,18 @@ class DeviceShard:
     def from_tables(cls, t: dict, drop_cpu_planes: bool = False) -> "DeviceShard":
         """Upload precomputed :meth:`host_tables` output to device.
 
-        ``drop_cpu_planes=True`` replaces ``hash_pos``/``strand_pos`` with
-        zero-size dummies — correct whenever every kernel traced against the
-        shard uses the pallas L2 path (which reads the hs32/chains16 planes
-        instead); saves 5 B/minimizer of HBM. Legacy cache entries with
-        extra standalone-plane keys are ignored.
+        ``drop_cpu_planes=True`` replaces ``hash_pos``/``strand_pos``
+        (and, in block modes, ``hash_sorted``) with zero-size dummies —
+        correct whenever every kernel traced against the shard uses the
+        pallas L2 path (which reads the hs32/chains16 planes instead);
+        saves ~9 B/minimizer of HBM AND of host->device transfer (the
+        dummies are created device-side, nothing dead is uploaded).
+        ``t`` may be the v5 disk-diet dict (bench._rehydrate_tables):
+        ``hash_sorted`` absent (re-derived by a values-only sort of
+        ``hash_pos`` on the rare paths that read it) and ``gpos`` +
+        ``gpos_wb`` pre-packed (used as-is instead of re-packing).
 
-        Two HBM diets apply here (disk caches keep the v4 host format —
-        the transforms are cheap strided numpy):
+        Two HBM diets apply here (the transforms are cheap strided numpy):
 
         - block9p kv rows re-window into the block9w layout
           (build_block9w_tables: 16 -> 10.7 B/unique, same one-row-gather
@@ -818,11 +822,31 @@ class DeviceShard:
         arrays = {
             k: jnp.asarray(t[k])
             for k in (
-                "hash_sorted", "wpos", "hash_pos",
-                "strand_pos", "hs32", "chains16", "contig_offsets",
+                "wpos", "hs32", "chains16", "contig_offsets",
                 "uniq_hash", "uniq_start", "bucket_start", "dir_packed",
             )
         }
+        # planes the accelerator path never reads are not uploaded at all
+        # (they used to be transferred and then replaced with dummies —
+        # ~9 B/minimizer of dead tunnel traffic per device-table swap)
+        if drop_cpu_planes:
+            arrays["hash_pos"] = jnp.zeros(0, jnp.uint32)
+            arrays["strand_pos"] = jnp.zeros(0, jnp.int8)
+        else:
+            arrays["hash_pos"] = jnp.asarray(t["hash_pos"])
+            arrays["strand_pos"] = jnp.asarray(t["strand_pos"])
+        if drop_cpu_planes and mode != "bisect":
+            # block-mode lookups never touch hash_sorted; the pallas L2
+            # gets row-space keys from the lookup stage (q_key)
+            arrays["hash_sorted"] = jnp.zeros(0, jnp.uint32)
+        elif "hash_sorted" in t:
+            arrays["hash_sorted"] = jnp.asarray(t["hash_sorted"])
+        else:
+            # v5 disk caches omit the plane; it is by definition the
+            # sorted hash values (values only — no permutation needed)
+            arrays["hash_sorted"] = jnp.asarray(
+                np.sort(np.asarray(t["hash_pos"], np.uint32))
+            )
         if mode == "block9p":
             arrays["kv32"] = jnp.asarray(
                 block9p_rows_to_9w(np.asarray(t["kv32"]))
@@ -835,21 +859,20 @@ class DeviceShard:
             mode = "block16w"
         else:
             arrays["kv32"] = jnp.asarray(t["kv32"])
-        pair = np.asarray(t["pair_byhash"])
-        gp, wb = pack_gpos(pair, int(np.asarray(t["contig_offsets"]).shape[0]) - 1)
+        if "gpos" in t and t["gpos"] is not None and int(t.get("gpos_wb", 0)):
+            # pre-packed by the cache layer (disk v5 / padded multishard)
+            gp, wb = np.asarray(t["gpos"]), int(t["gpos_wb"])
+        else:
+            pair = np.asarray(t["pair_byhash"])
+            gp, wb = pack_gpos(
+                pair, int(np.asarray(t["contig_offsets"]).shape[0]) - 1
+            )
         if wb:
             arrays["gpos"] = jnp.asarray(gp)
             arrays["pair_byhash"] = jnp.zeros((0, 2), jnp.int32)
         else:
             arrays["gpos"] = None
-            arrays["pair_byhash"] = jnp.asarray(pair)
-        if drop_cpu_planes:
-            arrays["hash_pos"] = jnp.zeros(0, jnp.uint32)
-            arrays["strand_pos"] = jnp.zeros(0, jnp.int8)
-            if mode != "bisect":
-                # block-mode lookups never touch hash_sorted; the pallas L2
-                # gets row-space keys from the lookup stage (q_key)
-                arrays["hash_sorted"] = jnp.zeros(0, jnp.uint32)
+            arrays["pair_byhash"] = jnp.asarray(t["pair_byhash"])
         return cls(
             **arrays,
             freq_threshold=int(t["freq_threshold"]),
