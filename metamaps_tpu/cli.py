@@ -151,6 +151,11 @@ def main(argv=None):
     p_ex.add_argument("--meanLength", type=int, default=5000)
     p_ex.add_argument("--accuracy", type=float, default=0.88)
     p_ex.add_argument("--minReadLen", type=int, default=2000)
+    p_ex.add_argument("--engine", choices=["auto", "jax", "oracle"],
+                      default="auto",
+                      help="mapping engine for the metamaps tool runs "
+                           "(auto: batched device engine on accelerators, "
+                           "serial oracle on CPU; outputs are identical)")
 
     p_sdb = sub.add_parser(
         "synthDB",
@@ -472,6 +477,7 @@ def main(argv=None):
             seed=args.seed, mean_length=args.meanLength,
             accuracy=args.accuracy, min_read_len=args.minReadLen,
             variants=variants, tools=args.tools.split(","),
+            engine=args.engine,
         )
         results = run_experiment(spec, args.store)
         n_ok = sum(1 for r in results.values() if "skipped" not in r)

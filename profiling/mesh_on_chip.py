@@ -18,6 +18,16 @@ import numpy as np
 def main():
     import jax
 
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass
+
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
           flush=True)
 
