@@ -666,17 +666,35 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
     all_results = []  # [shard][read] -> list of ReadMapping
     swap_s, map_s, upload_s = [], [], []
     hbm_b = 0
-    for i in range(n_shards):
-        t0 = time.perf_counter()
+
+    # next-shard PREFETCH: the disk reload + pad of shard i+1 runs on a
+    # loader thread while shard i uploads and maps (np.load / numpy release
+    # the GIL; the main thread is blocked in device transfers anyway). The
+    # reference's shard loop serializes reload and map (mapWrap.h:417-429);
+    # overlapping them is free parallelism the TPU host has to spare — at
+    # 8 x 3.345 Gbp it hides ~150 s/shard of disk behind the ~140 s upload.
+    # Peak host RAM: 2 padded table sets (the streaming contract holds).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _load_padded(i):
         seed = LARGE_SEED + 7919 * i
         # reload this shard's cached tables (the disk part of the swap) and
         # pad to the common spec; the SketchShard from build_db_large views
         # the UNPADDED planes — the oracle-fallback contract (its wpos/seqid
         # lengths must agree with contig_offsets, which padding breaks)
-        sh, tb, _rd, _info = build_db_large(seed=seed, n_reads=per,
-                                            verbose=False)
-        padded = _pad_tables_to(tb, spec)
+        sh_i, tb, _rd, _info = build_db_large(seed=seed, n_reads=per,
+                                              verbose=False)
+        padded_i = _pad_tables_to(tb, spec)
         del tb
+        return sh_i, padded_i
+
+    loader = ThreadPoolExecutor(1)
+    fut = loader.submit(_load_padded, 0)
+    for i in range(n_shards):
+        t0 = time.perf_counter()
+        sh, padded = fut.result()
+        if i + 1 < n_shards:
+            fut = loader.submit(_load_padded, i + 1)
         t_up = time.perf_counter()
         dshard = DeviceShard.from_tables(padded, drop_cpu_planes=on_accel)
         jax.block_until_ready((dshard.wpos, dshard.hs32, dshard.kv32))
@@ -733,6 +751,14 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
         all_results.append(engine.map_reads(reads))
         map_s.append(round(time.perf_counter() - t0, 3))
         detail[f"shard{i}_fallbacks"] = engine.stats["oracle_fallbacks"]
+        # per-shard engine phase decomposition (cumulative over warm+timed
+        # for shard 0, timed-only for shards 1+): pinpoints whether a slow
+        # shard lost time to escalation round trips, host-routed leftover
+        # candidates (frozen route-plan overflow), or collect
+        detail[f"shard{i}_esc_reads"] = engine.stats["esc_reads"]
+        detail[f"shard{i}_leftover_cands"] = engine.stats["leftover_cands"]
+        detail[f"shard{i}_phase_s"] = {
+            k: round(v, 2) for k, v in engine.stats["phase_s"].items()}
         # free HBM + the host table planes before the next shard's reload
         del dshard, engine, sh, padded
         gc.collect()
@@ -740,6 +766,7 @@ def run_multishard_bench(n_shards, n_reads=16384, verbose=True):
             print(f"# shard {i}: swap {swap_s[-1]}s "
                   f"(upload {upload_s[-1]}s) map {map_s[-1]}s", flush=True)
 
+    loader.shutdown(wait=False)
     # the unifyFiles merge: per-read candidates concatenated in shard
     # order, report filter + mapping qualities over the union
     if verbose:

@@ -13,12 +13,20 @@ import os
 import pytest
 
 FN = os.path.join(os.path.dirname(__file__), "..", "ACCURACY.json")
+FN_DEV = os.path.join(os.path.dirname(__file__), "..",
+                      "ACCURACY_DEVICE.json")
+_ARTS = [FN] + ([FN_DEV] if os.path.exists(FN_DEV) else [])
 
 
-@pytest.fixture(scope="module")
-def art():
+@pytest.fixture(scope="module",
+                params=_ARTS, ids=[os.path.basename(p) for p in _ARTS])
+def art(request):
+    # same bands over the host-oracle artifact AND (when present) the
+    # device-engine artifact (profiling/accuracy_device.py, VERDICT r4
+    # item 5) — the two engines are bit-identical by contract, so both
+    # runs must sit in the same accuracy bands
     assert os.path.exists(FN), "ACCURACY.json must be committed"
-    return json.load(open(FN))
+    return json.load(open(request.param))
 
 
 def test_scale(art):
